@@ -259,6 +259,9 @@ class VOOptions:
     non_maximal_suppression: bool = True
     fast_th: int = 20
     n_feats: int = 500
+    # upright descriptors are more stable for stereo/tracking; oriented ones
+    # add in-plane rotation invariance for place recognition
+    orb_oriented: bool = False
     # MATCH
     max_y_diff: float = 2.0
     orb_max_distance: int = 60

@@ -1,0 +1,293 @@
+"""Stereo visual-odometry engine (TPU-native ≙ rso::CStereoOdometryEstimator).
+
+Reproduces the behavioral contract the reference app drives through the
+external stereo-vo library (reference src/CSRBAStereoSLAMEstimator.cpp:112,
+267, 2139-2147; forced modes dmORB / smDescRbR / ifmDescBF at :1135-1137):
+
+* per frame: ORB-style detection on both rectified images, epipolar-gated
+  stereo matching, brute-force tracking against the previous frame, robust
+  two-stage pose estimation, track-ID bookkeeping;
+* the adaptive FAST/ORB threshold protocol (get/set/isMin/isMax/reset —
+  reference :275-311) is exposed as plain host attributes so the estimator's
+  retry loop works unchanged;
+* ``set_this_frame_as_kf`` / ``reset_ids`` mirror the KF hand-off
+  (reference :113, :403, :620).
+
+Architecture: two jitted fixed-shape device programs do all the math —
+``extract_and_match`` (detect → NMS → top-K → describe → stereo match →
+triangulate, both images batched together) and ``track_and_solve``
+(inter-frame Hamming matching + robust GN pose). The host object holds a
+FrameFeatures pytree for the previous frame plus numpy track-IDs, and makes
+only scalar-sized host↔device transfers per frame.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from srba_slam_tpu.config import VOOptions
+from srba_slam_tpu.ops.fast import fast_score_map
+from srba_slam_tpu.ops.matching import interframe_match, stereo_match
+from srba_slam_tpu.ops.nms import grid_topk, local_max_suppress
+from srba_slam_tpu.ops.orb import describe
+from srba_slam_tpu.ops.robust_lm import PoseSolveResult, solve_pose
+from srba_slam_tpu.utils.camera import StereoCamera, project_match_to_3d
+
+
+class FrameFeatures(NamedTuple):
+    """Fixed-capacity per-frame feature set (capacity K static)."""
+
+    ys_l: jax.Array      # int32 [K]
+    xs_l: jax.Array
+    score_l: jax.Array   # f32 [K]
+    valid_l: jax.Array   # bool [K]
+    desc_l: jax.Array    # uint32 [K, 8]
+    ys_r: jax.Array
+    xs_r: jax.Array
+    valid_r: jax.Array
+    desc_r: jax.Array
+    m_r_idx: jax.Array   # int32 [K] stereo match: left i -> right m_r_idx[i]
+    m_valid: jax.Array   # bool [K]
+    pts3d: jax.Array     # f32 [K, 3] triangulated in left camera frame
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "cell", "nms_radius", "margin", "max_y_diff",
+                     "min_disparity", "max_disparity", "oriented"),
+)
+def extract_and_match(
+    left: jax.Array,
+    right: jax.Array,
+    cam: StereoCamera,
+    fast_th: jax.Array,
+    orb_th: jax.Array,
+    k: int = 512,
+    cell: int = 5,
+    nms_radius: int = 2,
+    margin: int = 16,
+    max_y_diff: float = 2.0,
+    min_disparity: float = 0.1,
+    max_disparity: float = 1e9,
+    oriented: bool = False,
+) -> FrameFeatures:
+    """Full frontend for one stereo pair; one compiled program."""
+    imgs = jnp.stack([left.astype(jnp.float32), right.astype(jnp.float32)])
+
+    def frontend(img):
+        s = fast_score_map(img, fast_th, margin=margin)
+        s = local_max_suppress(s, radius=nms_radius)
+        ys, xs, sc, valid = grid_topk(s, cell=cell, k=k)
+        desc, _ = describe(img, ys, xs, valid, oriented=oriented)
+        return ys, xs, sc, valid, desc
+
+    (ys, xs, sc, valid, desc) = jax.vmap(frontend)(imgs)
+    m = stereo_match(
+        desc[0], desc[1], ys[0], xs[0], ys[1], xs[1], valid[0], valid[1],
+        max_y_diff=max_y_diff, orb_max_distance=orb_th,
+        min_disparity=min_disparity, max_disparity=max_disparity,
+    )
+    xr = xs[1][m.idx].astype(jnp.float32)
+    pts = project_match_to_3d(
+        xs[0].astype(jnp.float32), ys[0].astype(jnp.float32), xr, cam
+    )
+    pts = jnp.where(m.valid[:, None], pts, 0.0)
+    return FrameFeatures(
+        ys_l=ys[0], xs_l=xs[0], score_l=sc[0], valid_l=valid[0], desc_l=desc[0],
+        ys_r=ys[1], xs_r=xs[1], valid_r=valid[1], desc_r=desc[1],
+        m_r_idx=m.idx, m_valid=m.valid, pts3d=pts,
+    )
+
+
+class TrackSolveOut(NamedTuple):
+    track_idx: jax.Array    # int32 [K]: cur i -> prev track_idx[i]
+    track_valid: jax.Array  # bool [K]
+    pose: PoseSolveResult
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters_initial", "max_iters"))
+def track_and_solve(
+    prev: FrameFeatures,
+    cur: FrameFeatures,
+    cam: StereoCamera,
+    initial_pose: jax.Array,
+    orb_th: jax.Array,
+    kernel_param: float = 2.0,
+    residual_threshold: float = 15.0,
+    min_mod: float = 1e-3,
+    max_iters_initial: int = 30,
+    max_iters: int = 30,
+    min_inliers: int = 5,
+) -> TrackSolveOut:
+    """Track stereo-matched features into the current frame and solve the
+    frame-to-frame pose increment (x_cur = T x_prev)."""
+    m = interframe_match(cur.desc_l, prev.desc_l, cur.m_valid, prev.m_valid,
+                         orb_max_distance=orb_th)
+    pts_prev = prev.pts3d[m.idx]                       # [K, 3]
+    ur = cur.xs_r[cur.m_r_idx].astype(jnp.float32)
+    obs = jnp.stack(
+        [cur.xs_l.astype(jnp.float32), cur.ys_l.astype(jnp.float32), ur], axis=-1
+    )
+    valid = m.valid & cur.m_valid
+    res = solve_pose(
+        pts_prev, obs, valid, cam,
+        initial_pose=initial_pose,
+        kernel_param=kernel_param,
+        residual_threshold=residual_threshold,
+        min_mod=min_mod,
+        max_iters_initial=max_iters_initial,
+        max_iters=max_iters,
+        min_inliers=min_inliers,
+    )
+    return TrackSolveOut(track_idx=m.idx, track_valid=valid, pose=res)
+
+
+class VOResult(NamedTuple):
+    """≙ TStereoOdometryResult (reference .cpp:268-269, 318-360)."""
+
+    valid: bool
+    pose_increment: np.ndarray          # [6] prev-frame -> cur-frame
+    num_stereo_matches: int
+    tracked_from_last_frame: int
+    tracked_from_last_kf: int
+    mean_residual: float
+    num_iters: int
+
+
+@dataclass
+class StereoVOEngine:
+    """Host orchestrator; all heavy math happens in the two jitted programs."""
+
+    cam: StereoCamera
+    opts: VOOptions = field(default_factory=VOOptions)
+    capacity: int = 512
+
+    def __post_init__(self):
+        self.fast_th: float = float(self.opts.fast_th)
+        self.fast_th_min: float = 5.0
+        self.fast_th_max: float = float(self.opts.fast_th)
+        self.orb_th: float = float(self.opts.orb_max_distance)
+        self.orb_th_max: float = 90.0
+        self._prev: FrameFeatures | None = None
+        self._prev_ids: np.ndarray = np.full(self.capacity, -1, np.int64)
+        self._kf_id_set: set[int] = set()
+        self._cur: FrameFeatures | None = None
+        self._cur_ids: np.ndarray | None = None
+        self._last_pose_inc = np.zeros(6, np.float32)
+        self._next_id: int = 0
+
+    def _mint_ids(self, ids: np.ndarray, m_valid: np.ndarray) -> np.ndarray:
+        fresh = m_valid & (ids < 0)
+        n = int(fresh.sum())
+        ids[fresh] = np.arange(self._next_id, self._next_id + n)
+        self._next_id += n
+        return ids
+
+    # --- adaptive threshold protocol (reference .cpp:275-311) -------------
+    def is_fast_th_min(self) -> bool:
+        return self.fast_th <= self.fast_th_min
+
+    def is_orb_th_max(self) -> bool:
+        return self.orb_th >= self.orb_th_max
+
+    def set_fast_threshold(self, th: float):
+        self.fast_th = float(np.clip(th, self.fast_th_min, 255.0))
+
+    def set_orb_threshold(self, th: float):
+        self.orb_th = float(np.clip(th, 1.0, self.orb_th_max))
+
+    def reset_fast_threshold(self):
+        self.fast_th = self.fast_th_max
+
+    def reset_orb_threshold(self):
+        self.orb_th = float(self.opts.orb_max_distance)
+
+    # --- main per-frame entry (≙ processNewImagePair) ---------------------
+    def process_stereo_pair(self, left: np.ndarray, right: np.ndarray) -> VOResult:
+        cur = extract_and_match(
+            jnp.asarray(left), jnp.asarray(right), self.cam,
+            jnp.float32(self.fast_th), jnp.int32(self.orb_th),
+            k=self.capacity, cell=self.opts.min_distance,
+            max_y_diff=self.opts.max_y_diff,
+            oriented=self.opts.orb_oriented,
+        )
+        n_matches = int(jnp.sum(cur.m_valid))
+
+        if self._prev is None:
+            self._cur = cur
+            self._cur_ids = self._mint_ids(
+                np.full(self.capacity, -1, np.int64), np.asarray(cur.m_valid)
+            )
+            self._advance()
+            return VOResult(True, np.zeros(6, np.float32), n_matches, 0, 0, 0.0, 0)
+
+        init = (
+            jnp.asarray(self._last_pose_inc)
+            if self.opts.use_previous_pose_as_initial
+            else jnp.zeros(6, jnp.float32)
+        )
+        out = track_and_solve(
+            self._prev, cur, self.cam, init, jnp.int32(self.orb_th),
+            kernel_param=self.opts.kernel_param,
+            residual_threshold=self.opts.residual_threshold,
+            min_mod=self.opts.min_mod_out_vector,
+            max_iters_initial=self.opts.initial_max_iters,
+            max_iters=self.opts.max_iters,
+            min_inliers=self.opts.bad_tracking_th,
+        )
+        track_idx = np.asarray(out.track_idx)
+        track_valid = np.asarray(out.track_valid)
+        # ID propagation: tracked features inherit the previous frame's IDs;
+        # fresh stereo matches get fresh IDs from the engine counter (the
+        # estimator may overwrite them at KF insertion via set_frame_ids)
+        cur_ids = np.full(self.capacity, -1, np.int64)
+        cur_ids[track_valid] = self._prev_ids[track_idx[track_valid]]
+        cur_ids[~np.asarray(cur.m_valid)] = -1
+        cur_ids = self._mint_ids(cur_ids, np.asarray(cur.m_valid))
+        tracked_last = int(track_valid.sum())
+        tracked_kf = int(sum(1 for i in cur_ids if i >= 0 and i in self._kf_id_set))
+
+        pose_inc = np.asarray(out.pose.pose)
+        ok = bool(out.pose.valid)
+        self._cur = cur
+        self._cur_ids = cur_ids
+        if ok:
+            self._last_pose_inc = pose_inc
+        self._advance()
+        return VOResult(
+            valid=ok,
+            pose_increment=pose_inc if ok else np.zeros(6, np.float32),
+            num_stereo_matches=n_matches,
+            tracked_from_last_frame=tracked_last,
+            tracked_from_last_kf=tracked_kf,
+            mean_residual=float(out.pose.mean_residual),
+            num_iters=int(out.pose.iters),
+        )
+
+    def _advance(self):
+        self._prev = self._cur
+        self._prev_ids = self._cur_ids.copy()
+
+    # --- KF hand-off (≙ setThisFrameAsKF / getValues / resetIds) ----------
+    def last_frame(self) -> FrameFeatures:
+        """The features of the most recent processed frame."""
+        return self._prev
+
+    def last_frame_ids(self) -> np.ndarray:
+        return self._prev_ids
+
+    def set_frame_ids(self, ids: np.ndarray, kf_id_set: set[int]):
+        """Estimator writes back the (possibly freshly minted) match IDs when
+        the last frame is promoted to a keyframe."""
+        self._prev_ids = ids.copy()
+        self._kf_id_set = set(kf_id_set)
+
+    def reset_ids(self):
+        self._kf_id_set = set()

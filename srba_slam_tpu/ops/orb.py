@@ -88,15 +88,21 @@ def orientations(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
     return jnp.arctan2(m01, m10)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def describe(img: jax.Array, ys: jax.Array, xs: jax.Array, valid: jax.Array):
-    """Compute oriented descriptors for K keypoints.
+@functools.partial(jax.jit, static_argnames=("oriented",))
+def describe(img: jax.Array, ys: jax.Array, xs: jax.Array, valid: jax.Array,
+             oriented: bool = True):
+    """Compute 256-bit binary descriptors for K keypoints.
 
     Args:
       img: [H, W] float32 grayscale.
       ys, xs: [K] int32 keypoint coordinates (full patch support assumed —
         the detector enforces the margin).
       valid: [K] bool; invalid rows get zero descriptors.
+      oriented: steer the pattern by the intensity-centroid angle (rotation
+        invariance for wide-baseline place recognition). Upright descriptors
+        (False) are markedly more stable for stereo matching and
+        frame-to-frame tracking — the intensity centroid is noisy on
+        weak-gradient patches — and are what the VO frontend uses.
 
     Returns:
       (desc, theta): uint32[K, 8] packed descriptors, [K] orientations.
@@ -104,6 +110,8 @@ def describe(img: jax.Array, ys: jax.Array, xs: jax.Array, valid: jax.Array):
     img = img.astype(jnp.float32)
     blurred = box_blur5(img)
     theta = orientations(img, ys, xs)
+    if not oriented:
+        theta = jnp.zeros_like(theta)
 
     c, s = jnp.cos(theta), jnp.sin(theta)  # [K]
     pat = jnp.asarray(_PATTERN, jnp.float32)  # [256, 2, 2] (pair, point, (dy,dx))

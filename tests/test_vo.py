@@ -1,0 +1,92 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from srba_slam_tpu.config import VOOptions
+from srba_slam_tpu.models.vo import StereoVOEngine
+from srba_slam_tpu.utils import se3
+from srba_slam_tpu.utils.camera import StereoCamera
+
+from tests.synth import PlaneScene
+
+
+def small_cam():
+    # quarter-res KITTI-like rig to keep the test fast
+    return StereoCamera(
+        fx_l=180.0, fy_l=180.0, cx_l=160.0, cy_l=100.0,
+        fx_r=180.0, fy_r=180.0, cx_r=160.0, cy_r=100.0,
+        baseline=0.54, width=320, height=200,
+    )
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return PlaneScene(np.random.default_rng(11))
+
+
+def _run_sequence(scene, cam, poses, **eng_kw):
+    eng = StereoVOEngine(cam, VOOptions(fast_th=12, n_feats=256), capacity=256, **eng_kw)
+    results = []
+    for p in poses:
+        left, right = scene.render(cam, p)
+        results.append(eng.process_stereo_pair(left, right))
+    return eng, results
+
+
+def test_vo_static_camera(scene):
+    cam = small_cam()
+    poses = [np.zeros(6, np.float32)] * 3
+    _, results = _run_sequence(scene, cam, poses)
+    assert results[0].valid and results[0].num_stereo_matches > 50
+    for r in results[1:]:
+        assert r.valid
+        assert np.linalg.norm(r.pose_increment[3:]) < 0.01
+        assert np.linalg.norm(r.pose_increment[:3]) < 0.005
+        assert r.tracked_from_last_frame > 40
+
+
+def test_vo_forward_motion(scene):
+    cam = small_cam()
+    # camera advances 0.15 m toward the plane each frame
+    poses = [np.array([0, 0, 0, 0, 0, 0.15 * i], np.float32) for i in range(4)]
+    _, results = _run_sequence(scene, cam, poses)
+    for r in results[1:]:
+        assert r.valid
+        # pose_increment maps prev-frame coords to cur-frame: pure forward
+        # motion of the camera moves scene points by -0.15 in z
+        np.testing.assert_allclose(r.pose_increment[5], -0.15, atol=0.02)
+        assert abs(r.pose_increment[3]) < 0.02 and abs(r.pose_increment[4]) < 0.02
+
+
+def test_vo_lateral_and_rotation(scene):
+    cam = small_cam()
+    # sideways translation + small yaw per frame
+    gt = []
+    pose = np.zeros(6, np.float32)
+    for i in range(4):
+        gt.append(pose.copy())
+        inc = np.array([0, 0.01, 0, 0.08, 0, 0.05], np.float32)
+        pose = np.asarray(se3.compose(jnp.asarray(pose), jnp.asarray(inc)))
+    _, results = _run_sequence(scene, cam, gt)
+    for i, r in enumerate(results[1:], 1):
+        assert r.valid, f"frame {i} invalid"
+        # expected increment: T_cur_prev = inverse(inc)
+        exp = np.asarray(se3.inverse(jnp.asarray(
+            np.array([0, 0.01, 0, 0.08, 0, 0.05], np.float32))))
+        np.testing.assert_allclose(r.pose_increment, exp, atol=0.02)
+
+
+def test_vo_trajectory_accumulation(scene):
+    cam = small_cam()
+    incs = [np.array([0, 0.005, 0, 0.05, 0, 0.1], np.float32)] * 5
+    gt = [np.zeros(6, np.float32)]
+    for inc in incs:
+        gt.append(np.asarray(se3.compose(jnp.asarray(gt[-1]), jnp.asarray(inc))))
+    _, results = _run_sequence(scene, cam, gt)
+    # accumulate VO increments: T_w_cur = T_w_prev ∘ inverse(increment)
+    est = jnp.zeros(6)
+    for r in results[1:]:
+        est = se3.compose(est, se3.inverse(jnp.asarray(r.pose_increment)))
+    err = np.asarray(est) - gt[-1]
+    assert np.linalg.norm(err[3:]) < 0.05, err
+    assert np.linalg.norm(err[:3]) < 0.02, err
