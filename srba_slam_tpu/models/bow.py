@@ -1,0 +1,196 @@
+"""Bag-of-binary-words place recognition (TPU-native ≙ DBoW2 + CBoWManager).
+
+Replaces the reference's DBoW2 ``BriefVocabulary``/``BriefDatabase`` pair
+(reference src/CBoWManager.h:48-88: load vocabulary, insert keyframe, query
+ranked similar keyframes) with a design shaped for the MXU instead of an
+inverted index:
+
+* **Quantization**: instead of descending the k=8/L=5 tree, every descriptor
+  is scored against ALL leaf words at once — one int8 [K,256]x[256,W] matmul
+  — and takes the exact Hamming-nearest leaf. Strictly better assignments
+  than the tree's greedy descent, and a single MXU pass.
+* **Scoring**: with TF-IDF L1-normalized BoW vectors, the DBoW2 L1 score
+  ``1 - 0.5*Σ|v-w|`` equals ``Σ min(v, w)``, so querying the whole database
+  is one masked elementwise-min + row-sum over a dense [MAX_KFS, W] matrix —
+  no inverted index needed (SURVEY §7.4).
+* The database keeps the reference's implicit contract that entry id == KF id
+  (src/CSRBAStereoSLAMEstimator.cpp:681, 1789).
+
+The vocabulary can be loaded from the reference's DBoW2 YAML (.yml.gz) format
+(demo/voc.yml.gz, k=8 L=5, TF-IDF + L1 per its header) or trained from
+scratch with hierarchical binary k-medians (a capability the reference only
+gets from the external DBoW2 tooling).
+"""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from srba_slam_tpu.ops import bits as bitops
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@dataclass
+class Vocabulary:
+    """Flat leaf-word vocabulary: bits + idf weights, padded to a static W."""
+
+    leaf_bits: np.ndarray      # int8 [W_pad, 256] {0,1}; padding rows zero
+    weights: np.ndarray        # f32 [W_pad]; padding weight 0
+    n_words: int               # true number of words (<= W_pad)
+    k: int = 0                 # branching factor of the source tree (info only)
+    L: int = 0                 # depth of the source tree (info only)
+
+    @property
+    def n_pad(self) -> int:
+        return self.leaf_bits.shape[0]
+
+    # -- loading the reference's DBoW2 YAML format --------------------------
+    @staticmethod
+    def load_dbow2(path: str) -> "Vocabulary":
+        """Parse a DBoW2 vocabulary .yml / .yml.gz (demo/voc.yml.gz format)."""
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt", errors="replace") as f:
+            txt = f.read()
+        k = int(re.search(r"\bk:\s*(\d+)", txt).group(1))
+        L = int(re.search(r"\bL:\s*(\d+)", txt).group(1))
+        # nodes: nodeId -> (weight, descriptor bit-string)
+        node_re = re.compile(
+            r"nodeId:(\d+),\s*parentId:\d+,\s*weight:([0-9.eE+-]+),\s*"
+            r'descriptor:"([01]+)"',
+            re.S,
+        )
+        weights = {}
+        descs = {}
+        for m in node_re.finditer(txt):
+            nid = int(m.group(1))
+            weights[nid] = float(m.group(2))
+            descs[nid] = m.group(3)
+        word_re = re.compile(r"wordId:(\d+),\s*nodeId:(\d+)")
+        words = sorted(
+            ((int(m.group(1)), int(m.group(2))) for m in word_re.finditer(txt))
+        )
+        n_words = len(words)
+        n_pad = _round_up(max(n_words, 128), 128)
+        bits = np.zeros((n_pad, 256), np.int8)
+        w = np.zeros((n_pad,), np.float32)
+        for word_id, node_id in words:
+            s = descs[node_id]
+            bits[word_id] = np.frombuffer(s.encode(), np.uint8) - ord("0")
+            w[word_id] = weights[node_id]
+        return Vocabulary(bits, w, n_words, k, L)
+
+    # -- training from scratch ---------------------------------------------
+    @staticmethod
+    def train(descriptors: np.ndarray, k: int = 8, L: int = 5,
+              seed: int = 0, min_cluster: int = 2) -> "Vocabulary":
+        """Hierarchical binary k-medians over packed uint32[N, 8] descriptors.
+
+        Leaf weights are idf over the training set: w_i = log(N / N_i).
+        """
+        rng = np.random.default_rng(seed)
+        bits = np.asarray(bitops.unpack_bits(jnp.asarray(descriptors)), np.int8)
+        leaves: list[np.ndarray] = []   # majority-bit centroid per leaf
+        counts: list[int] = []
+
+        def kmedians(idx: np.ndarray, depth: int):
+            if depth == L or len(idx) < max(k, min_cluster):
+                centroid = (bits[idx].mean(axis=0) >= 0.5).astype(np.int8)
+                leaves.append(centroid)
+                counts.append(len(idx))
+                return
+            # k-medians with Hamming distance, few iterations
+            centers = bits[rng.choice(idx, size=k, replace=False)].astype(np.int32)
+            sub = bits[idx].astype(np.int32)
+            for _ in range(6):
+                d = np.abs(sub[:, None, :] - centers[None, :, :]).sum(-1)
+                assign = d.argmin(1)
+                for c in range(k):
+                    sel = sub[assign == c]
+                    if len(sel):
+                        centers[c] = (sel.mean(0) >= 0.5).astype(np.int32)
+            for c in range(k):
+                sel = idx[assign == c]
+                if len(sel):
+                    kmedians(sel, depth + 1)
+
+        kmedians(np.arange(len(bits)), 0)
+        n_words = len(leaves)
+        n_pad = _round_up(max(n_words, 128), 128)
+        leaf_bits = np.zeros((n_pad, 256), np.int8)
+        leaf_bits[:n_words] = np.stack(leaves)
+        n_total = len(bits)
+        w = np.zeros((n_pad,), np.float32)
+        w[:n_words] = np.log(n_total / np.maximum(np.asarray(counts, np.float32), 1.0))
+        return Vocabulary(leaf_bits, w, n_words, k, L)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def bow_vector(desc_bits: jax.Array, valid: jax.Array,
+               leaf_bits: jax.Array, weights: jax.Array) -> jax.Array:
+    """Quantize K descriptors to leaf words and build the TF-IDF L1-normalized
+    BoW vector. desc_bits {0,1} int8 [K,256]; returns f32 [W_pad]."""
+    # exact nearest leaf by Hamming == argmax of dot with (2b-1) trick:
+    # dist = pop(d) + pop(w) - 2 d·w; argmin over w
+    dot = jax.lax.dot_general(
+        desc_bits, leaf_bits,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [K, W]
+    pw = jnp.sum(leaf_bits.astype(jnp.int32), axis=-1)  # [W]
+    dist = pw[None, :] - 2 * dot  # per-row constant pop(d) dropped (argmin-safe)
+    word = jnp.argmin(dist, axis=-1)  # [K]
+    contrib = jnp.where(valid, weights[word], 0.0)
+    v = jnp.zeros(weights.shape, jnp.float32).at[word].add(contrib)
+    n = jnp.sum(v)
+    return v / jnp.maximum(n, 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=("max_results",))
+def _query(db: jax.Array, n_kfs: jax.Array, q: jax.Array, max_results: int):
+    scores = jnp.sum(jnp.minimum(db, q[None, :]), axis=-1)  # [MAX_KFS]
+    row = jnp.arange(db.shape[0])
+    scores = jnp.where(row < n_kfs, scores, -1.0)
+    top_s, top_i = jax.lax.top_k(scores, max_results)
+    return top_s, top_i
+
+
+class BoWDatabase:
+    """≙ BriefDatabase: insert/query over KF BoW vectors (entry id == KF id)."""
+
+    def __init__(self, voc: Vocabulary, max_kfs: int = 512):
+        self.voc = voc
+        self.max_kfs = max_kfs
+        self._leaf_bits = jnp.asarray(voc.leaf_bits)
+        self._weights = jnp.asarray(voc.weights)
+        self._db = jnp.zeros((max_kfs, voc.n_pad), jnp.float32)
+        self.n_kfs = 0
+
+    def compute_bow(self, desc_packed: jax.Array, valid: jax.Array) -> jax.Array:
+        bits = bitops.unpack_bits(desc_packed)
+        return bow_vector(bits, valid, self._leaf_bits, self._weights)
+
+    def insert(self, desc_packed: jax.Array, valid: jax.Array) -> int:
+        """Insert a keyframe's descriptors; returns its DB entry id (== KF id)."""
+        v = self.compute_bow(desc_packed, valid)
+        self._db = jax.lax.dynamic_update_slice(self._db, v[None, :], (self.n_kfs, 0))
+        self.n_kfs += 1
+        return self.n_kfs - 1
+
+    def query(self, desc_packed: jax.Array, valid: jax.Array,
+              max_results: int = 4):
+        """Ranked (scores, ids) of the most similar stored KFs
+        (≙ CBoWManager::queryDB, reference src/CBoWManager.h:83-88)."""
+        q = self.compute_bow(desc_packed, valid)
+        s, i = _query(self._db, jnp.int32(self.n_kfs), q, max_results)
+        return np.asarray(s), np.asarray(i)
