@@ -1,0 +1,94 @@
+"""Fixed-capacity keyframe store (TPU-native ≙ CStereoSLAMKF + vector of KFs).
+
+The reference keeps a ``std::vector<CStereoSLAMKF>`` of keyframes, each with
+left/right keypoints, 256-bit descriptors, L-R matches, globally unique match
+IDs and a camera pose (reference src/CStereoSLAMKF.h:99-104). Here the whole
+store is a pytree of padded device arrays with static capacities
+``[MAX_KFS, K, ...]`` so any subset of keyframes can be gathered into a
+compiled program without shape changes; scalar bookkeeping lives on host.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from srba_slam_tpu.models.vo import FrameFeatures
+
+
+class KFArrays(NamedTuple):
+    """Device-side stacked keyframe data."""
+
+    ys_l: jax.Array     # int32 [M, K]
+    xs_l: jax.Array
+    valid_l: jax.Array  # bool [M, K]
+    desc_l: jax.Array   # uint32 [M, K, 8]
+    ys_r: jax.Array
+    xs_r: jax.Array
+    valid_r: jax.Array
+    desc_r: jax.Array
+    m_r_idx: jax.Array  # int32 [M, K]
+    m_valid: jax.Array  # bool [M, K]
+    pts3d: jax.Array    # f32 [M, K, 3] (left-camera frame)
+
+
+class KeyframeStore:
+    """Host wrapper around KFArrays + per-KF match IDs and poses."""
+
+    def __init__(self, max_kfs: int = 512, capacity: int = 512):
+        self.max_kfs = max_kfs
+        self.capacity = capacity
+        k = capacity
+        self.arrays = KFArrays(
+            ys_l=jnp.zeros((max_kfs, k), jnp.int32),
+            xs_l=jnp.zeros((max_kfs, k), jnp.int32),
+            valid_l=jnp.zeros((max_kfs, k), bool),
+            desc_l=jnp.zeros((max_kfs, k, 8), jnp.uint32),
+            ys_r=jnp.zeros((max_kfs, k), jnp.int32),
+            xs_r=jnp.zeros((max_kfs, k), jnp.int32),
+            valid_r=jnp.zeros((max_kfs, k), bool),
+            desc_r=jnp.zeros((max_kfs, k, 8), jnp.uint32),
+            m_r_idx=jnp.zeros((max_kfs, k), jnp.int32),
+            m_valid=jnp.zeros((max_kfs, k), bool),
+            pts3d=jnp.zeros((max_kfs, k, 3), jnp.float32),
+        )
+        self.match_ids = np.full((max_kfs, k), -1, np.int64)  # host
+        self.poses = np.zeros((max_kfs, 6), np.float32)       # world poses, host
+        self.n_kfs = 0
+
+    def append(self, frame: FrameFeatures, ids: np.ndarray,
+               pose: np.ndarray) -> int:
+        """Store a frame as keyframe; returns its KF id."""
+        i = self.n_kfs
+        assert i < self.max_kfs, "keyframe capacity exhausted"
+        self.arrays = KFArrays(
+            *(
+                arr.at[i].set(val)
+                for arr, val in zip(
+                    self.arrays,
+                    (
+                        frame.ys_l, frame.xs_l, frame.valid_l, frame.desc_l,
+                        frame.ys_r, frame.xs_r, frame.valid_r, frame.desc_r,
+                        frame.m_r_idx, frame.m_valid, frame.pts3d,
+                    ),
+                )
+            )
+        )
+        self.match_ids[i] = ids
+        self.poses[i] = pose
+        self.n_kfs += 1
+        return i
+
+    def drop_last(self):
+        """Un-insert the most recent KF (≙ the candidate-KF rollback at
+        reference src/CSRBAStereoSLAMEstimator.cpp:558-562)."""
+        assert self.n_kfs > 0
+        self.n_kfs -= 1
+        self.match_ids[self.n_kfs] = -1
+
+    def set_pose(self, kf_id: int, pose: np.ndarray):
+        self.poses[kf_id] = np.asarray(pose, np.float32)

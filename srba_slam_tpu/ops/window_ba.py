@@ -1,0 +1,277 @@
+"""Windowed stereo bundle adjustment: LM + Schur over landmarks + Cholesky.
+
+Device-side core of the SRBA backend (≙ the solver the reference configures:
+LM with Schur complement over landmarks and dense Cholesky —
+``srba::options::solver_LM_schur_dense_cholesky``, reference
+src/srba-stereo-slam.h:34 — run over the ≤ max_optimize_depth window on each
+keyframe insertion, src/CSRBAStereoSLAMEstimator.cpp:782-784).
+
+Parameterization: window keyframes carry poses Q_c relative to the window
+root (root frozen, fixed gauge); landmarks live in their base keyframe's
+frame (the SRBA relative-landmark parameterization). Everything is padded to
+static capacities (C cams, L landmarks, O observations) and masked, so one
+XLA program serves every window.
+
+Per LM iteration: batched analytic Jacobians for all observations at once,
+scatter-add assembly of the block Hessian, closed-form 3x3 landmark-block
+inverses, Schur reduction via two einsums (MXU), one dense Cholesky solve of
+the 6C camera system, masked accept/reject with adaptive damping.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from srba_slam_tpu.utils import se3
+from srba_slam_tpu.utils.camera import StereoCamera
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class BAWindow(NamedTuple):
+    """Padded window problem. C/L/O are static capacities."""
+
+    cam_pose: jax.Array   # f32 [C, 6] pose of each window KF in ROOT frame (Q_c)
+    cam_valid: jax.Array  # bool [C]; entry 0 is the root (always frozen)
+    lm_pos: jax.Array     # f32 [L, 3] landmark in its base KF frame
+    lm_base: jax.Array    # int32 [L] window-local index of the base KF
+    lm_valid: jax.Array   # bool [L]
+    obs_cam: jax.Array    # int32 [O] window-local observing KF
+    obs_lm: jax.Array     # int32 [O] window-local landmark index
+    obs_px: jax.Array     # f32 [O, 3] (ul, vl, ur)
+    obs_valid: jax.Array  # bool [O]
+
+
+class BAResult(NamedTuple):
+    cam_pose: jax.Array   # optimized [C, 6]
+    lm_pos: jax.Array     # optimized [L, 3]
+    cost_init: jax.Array  # robust total cost before
+    cost_final: jax.Array
+    obs_rmse: jax.Array   # raw pixel RMSE over valid obs after
+    iters: jax.Array
+
+
+def _project_residuals(cam_pose, lm_pos, lm_base, obs_cam, obs_lm, obs_px,
+                       cam: StereoCamera, eps=1e-6):
+    """Residuals + everything needed for Jacobians, batched over O."""
+    Q_R, Q_t = se3.exp(cam_pose)                     # [C,3,3], [C,3]
+    Xw = (
+        jnp.einsum("lij,lj->li", Q_R[lm_base], lm_pos, precision=_HI)
+        + Q_t[lm_base]
+    )                                                # [L,3] in root frame
+    Rc = Q_R[obs_cam]                                # [O,3,3]
+    tc = Q_t[obs_cam]
+    X = Xw[obs_lm]                                   # [O,3]
+    x = jnp.einsum("oji,oj->oi", Rc, X - tc, precision=_HI)  # R^T (X - t)
+    Xc, Yc, Zc = x[..., 0], x[..., 1], x[..., 2]
+    zi = 1.0 / jnp.maximum(Zc, eps)
+    ul = cam.cx_l + cam.fx_l * Xc * zi
+    vl = cam.cy_l + cam.fy_l * Yc * zi
+    ur = cam.cx_r + cam.fx_r * (Xc - cam.baseline) * zi
+    r = jnp.stack([ul, vl, ur], axis=-1) - obs_px
+    return r, x, X, Rc, Q_R
+
+
+def _dproj(x, cam: StereoCamera, eps=1e-6):
+    X, Y, Z = x[..., 0], x[..., 1], x[..., 2]
+    zi = 1.0 / jnp.maximum(Z, eps)
+    zi2 = zi * zi
+    zeros = jnp.zeros_like(X)
+    return jnp.stack(
+        [
+            jnp.stack([cam.fx_l * zi, zeros, -cam.fx_l * X * zi2], axis=-1),
+            jnp.stack([zeros, cam.fy_l * zi, -cam.fy_l * Y * zi2], axis=-1),
+            jnp.stack([cam.fx_r * zi, zeros, -cam.fx_r * (X - cam.baseline) * zi2], axis=-1),
+        ],
+        axis=-2,
+    )  # [O,3,3]
+
+
+def _inv3x3(A: jax.Array, damp: float = 1e-8) -> jax.Array:
+    """Batched closed-form 3x3 inverse with tiny Tikhonov guard."""
+    A = A + damp * jnp.eye(3, dtype=A.dtype)
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([co00, co01, co02], axis=-1),
+            jnp.stack([co10, co11, co12], axis=-1),
+            jnp.stack([co20, co21, co22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def _robust_cost(r, w_valid, kernel_param, use_kernel):
+    rsq = jnp.sum(r * r, axis=-1)
+    b2 = kernel_param * kernel_param
+    rho = jnp.where(use_kernel, 2.0 * b2 * (jnp.sqrt(1.0 + rsq / b2) - 1.0), rsq)
+    return jnp.sum(rho * w_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "use_kernel"))
+def optimize_window(
+    win: BAWindow,
+    cam: StereoCamera,
+    kernel_param: float = 1.5,
+    max_iters: int = 12,
+    use_kernel: bool = True,
+    init_lambda: float = 1e-4,
+) -> BAResult:
+    C = win.cam_pose.shape[0]
+    kernel_param = jnp.asarray(kernel_param, jnp.float32)
+    obs_w = win.obs_valid.astype(jnp.float32)
+    lm_w = win.lm_valid.astype(jnp.float32)
+
+    # camera freeze mask: root (index 0) and invalid cams are fixed
+    free_cam = win.cam_valid & (jnp.arange(C) != 0)          # [C]
+    free6 = jnp.repeat(free_cam, 6)                           # [6C]
+
+    def cost_of(cam_pose, lm_pos):
+        r, *_ = _project_residuals(cam_pose, lm_pos, win.lm_base, win.obs_cam,
+                                   win.obs_lm, win.obs_px, cam)
+        return _robust_cost(r, obs_w, kernel_param, use_kernel)
+
+    cost0 = cost_of(win.cam_pose, win.lm_pos)
+
+    def lm_step(cam_pose, lm_pos, lam):
+        r, x, X, Rc, Q_R = _project_residuals(
+            cam_pose, lm_pos, win.lm_base, win.obs_cam, win.obs_lm, win.obs_px, cam
+        )
+        P = _dproj(x, cam)                                    # [O,3,3]
+        rnorm = jnp.linalg.norm(r, axis=-1)
+        w_rob = jnp.where(
+            use_kernel, 1.0 / jnp.sqrt(1.0 + (rnorm / kernel_param) ** 2), 1.0
+        )
+        w = w_rob * obs_w                                     # [O]
+
+        RcT = jnp.swapaxes(Rc, -1, -2)
+        # dx/d(base twist) = R_c^T [ -[X]x | I ];  dx/d(cam twist) = -that
+        hatX = se3.hat(X)                                     # [O,3,3]
+        dB_rot = jnp.einsum("oij,ojk->oik", RcT, -hatX, precision=_HI)
+        dB = jnp.concatenate([dB_rot, RcT], axis=-1)          # [O,3,6]
+        JB = jnp.einsum("oij,ojk->oik", P, dB, precision=_HI)  # base-KF block
+        JA = -JB                                               # observing-KF block
+        # dx/dp = R_c^T R_base
+        Rb = Q_R[win.lm_base][win.obs_lm]                     # [O,3,3]
+        dP = jnp.einsum("oij,ojk->oik", RcT, Rb, precision=_HI)
+        JC = jnp.einsum("oij,ojk->oik", P, dP, precision=_HI)  # [O,3,3]
+
+        cam_a = win.obs_cam                                   # [O]
+        cam_b = win.lm_base[win.obs_lm]                       # [O]
+        lm_i = win.obs_lm
+
+        wJA = JA * w[:, None, None]
+        wJB = JB * w[:, None, None]
+        wJC = JC * w[:, None, None]
+
+        # gradient
+        g_c = jnp.zeros((C, 6), jnp.float32)
+        g_c = g_c.at[cam_a].add(jnp.einsum("oij,oi->oj", wJA, r, precision=_HI))
+        g_c = g_c.at[cam_b].add(jnp.einsum("oij,oi->oj", wJB, r, precision=_HI))
+        g_l = jnp.zeros((win.lm_pos.shape[0], 3), jnp.float32)
+        g_l = g_l.at[lm_i].add(jnp.einsum("oij,oi->oj", wJC, r, precision=_HI))
+
+        # H_cc blocks scattered into [C*C, 6, 6]
+        Hcc = jnp.zeros((C * C, 6, 6), jnp.float32)
+        aa = jnp.einsum("oij,oik->ojk", wJA, JA, precision=_HI)
+        bb = jnp.einsum("oij,oik->ojk", wJB, JB, precision=_HI)
+        ab = jnp.einsum("oij,oik->ojk", wJA, JB, precision=_HI)
+        Hcc = Hcc.at[cam_a * C + cam_a].add(aa)
+        Hcc = Hcc.at[cam_b * C + cam_b].add(bb)
+        Hcc = Hcc.at[cam_a * C + cam_b].add(ab)
+        Hcc = Hcc.at[cam_b * C + cam_a].add(jnp.swapaxes(ab, -1, -2))
+
+        # H_cl dense [C, L, 6, 3]
+        L_n = win.lm_pos.shape[0]
+        Hcl = jnp.zeros((C * L_n, 6, 3), jnp.float32)
+        ac = jnp.einsum("oij,oik->ojk", wJA, JC, precision=_HI)
+        bc = jnp.einsum("oij,oik->ojk", wJB, JC, precision=_HI)
+        Hcl = Hcl.at[cam_a * L_n + lm_i].add(ac)
+        Hcl = Hcl.at[cam_b * L_n + lm_i].add(bc)
+        Hcl = Hcl.reshape(C, L_n, 6, 3)
+
+        # H_ll diag blocks [L,3,3]
+        Hll = jnp.zeros((L_n, 3, 3), jnp.float32)
+        Hll = Hll.at[lm_i].add(jnp.einsum("oij,oik->ojk", wJC, JC, precision=_HI))
+        # LM damping + keep padded landmarks fully determined
+        Hll = Hll + (lam + 1e-6) * jnp.eye(3)[None]
+        Hll = jnp.where(lm_w[:, None, None] > 0, Hll, jnp.eye(3)[None])
+        g_l = g_l * lm_w[:, None]
+
+        Hll_inv = _inv3x3(Hll)
+        W = jnp.einsum("clij,ljk->clik", Hcl, Hll_inv, precision=_HI)  # [C,L,6,3]
+
+        # Schur: S = Hcc - W Hcl^T ; rhs = g_c - W g_l
+        S = Hcc.reshape(C, C, 6, 6) - jnp.einsum(
+            "clij,dlkj->cdik", W, Hcl, precision=_HI
+        )
+        rhs = g_c - jnp.einsum("clij,lj->ci", W, g_l, precision=_HI)
+
+        # dense 6C system with gauge/invalid freezing
+        S = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
+        S = S + lam * jnp.diag(jnp.diag(S)) + 1e-8 * jnp.eye(C * 6)
+        rhs_f = rhs.reshape(C * 6)
+        S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
+        S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
+        rhs_f = jnp.where(free6, rhs_f, 0.0)
+        Lchol = jnp.linalg.cholesky(S)
+        dc = -jax.scipy.linalg.cho_solve((Lchol, True), rhs_f)
+        ok = jnp.all(jnp.isfinite(dc))
+        dc = jnp.where(ok, dc, 0.0).reshape(C, 6)
+
+        # back-substitute landmarks
+        corr = jnp.einsum("clij,ci->lj", Hcl, dc, precision=_HI)
+        dl = -jnp.einsum("lij,lj->li", Hll_inv, g_l + corr, precision=_HI)
+        dl = dl * lm_w[:, None]
+
+        # apply (left-multiplicative twist on cam poses)
+        dR = se3.so3_exp(dc[:, :3])
+        Rq, tq = se3.exp(cam_pose)
+        R_new = jnp.einsum("cij,cjk->cik", dR, Rq, precision=_HI)
+        t_new = jnp.einsum("cij,cj->ci", dR, tq, precision=_HI) + dc[:, 3:]
+        cam_new = se3.log(R_new, t_new)
+        cam_new = jnp.where(free_cam[:, None], cam_new, cam_pose)
+        lm_new = lm_pos + dl
+        return cam_new, lm_new, ok
+
+    def body(_, carry):
+        cam_pose, lm_pos, cost, lam, iters = carry
+        cam_new, lm_new, ok = lm_step(cam_pose, lm_pos, lam)
+        new_cost = cost_of(cam_new, lm_new)
+        accept = ok & (new_cost < cost)
+        cam_pose = jnp.where(accept, cam_new, cam_pose)
+        lm_pos = jnp.where(accept, lm_new, lm_pos)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.4, 1e-7),
+                        jnp.minimum(lam * 6.0, 1e3))
+        return cam_pose, lm_pos, cost, lam, iters + accept.astype(jnp.int32)
+
+    cam_pose, lm_pos, cost, _, iters = jax.lax.fori_loop(
+        0, max_iters, body,
+        (win.cam_pose, win.lm_pos, cost0, jnp.float32(init_lambda),
+         jnp.asarray(0, jnp.int32)),
+    )
+
+    r, *_ = _project_residuals(cam_pose, lm_pos, win.lm_base, win.obs_cam,
+                               win.obs_lm, win.obs_px, cam)
+    n_obs = jnp.maximum(jnp.sum(obs_w), 1.0)
+    rmse = jnp.sqrt(jnp.sum(jnp.sum(r * r, -1) * obs_w) / n_obs)
+    return BAResult(cam_pose, lm_pos, cost0, cost, rmse, iters)
