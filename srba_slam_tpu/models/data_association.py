@@ -1,0 +1,194 @@
+"""Inter-keyframe data association: the 4-filter cascade, batched.
+
+TPU-native ≙ ``m_data_association`` / ``m_internal_data_association``
+(reference src/CSRBAStereoSLAMEstimator.cpp:1341-1411, 1413-1727). The
+reference loops over similar keyframes one at a time; here the whole cascade
+runs for ALL candidate keyframes simultaneously (vmap over the stacked
+keyframe rows):
+
+1. brute-force Hamming matching of left descriptors (MXU matmul —
+   ≙ cv::BFMatcher(NORM_HAMMING), .cpp:1447-1452);
+2. filter 1 (optional): direction histogram — 36 x 10° bins over the match
+   displacement angles, keep the mode bin ±1 (.cpp:1883-1946);
+3. filter 2: ORB distance ≤ max_orb_distance_da with 1-to-1 uniqueness,
+   best-distance-wins (.cpp:1951-2010);
+4. filter 3: fundamental-matrix RANSAC over the left pixels — applied only
+   when ≥ 15 matches remain (.cpp:2015-2055);
+5. filter 4: change-in-pose — robust GN solve of the candidate-KF → current
+   pose from the candidate's 3D points; matches with residual >
+   residual_th rejected, everything rejected if the solve is invalid
+   (.cpp:2113-2177).
+
+Per-match statuses use the reference's enum values so debug dumps are
+directly comparable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from srba_slam_tpu.models.keyframe import KFArrays
+from srba_slam_tpu.models.vo import FrameFeatures
+from srba_slam_tpu.ops.hamming import hamming_matrix
+from srba_slam_tpu.ops.ransac import ransac_fundamental
+from srba_slam_tpu.ops.robust_lm import solve_pose
+from srba_slam_tpu.utils.camera import StereoCamera
+
+# ≙ the status enum at reference src/CSRBAStereoSLAMEstimator.h:100-114
+S_NON_TRACKED = 0
+S_TRACKED = 1
+S_REJ_SLOPE = 2
+S_REJ_ORB = 3
+S_REJ_FUND_MATRIX = 4
+S_REJ_CHANGE_POSE = 5
+S_REJ_CONSISTENCY = 6
+
+_BIG = jnp.int32(1 << 20)
+
+
+class DAResult(NamedTuple):
+    """Per-candidate-KF association results (S candidates, K features)."""
+
+    status: jax.Array         # int8 [S, K] per current-KF feature
+    other_idx: jax.Array      # int32 [S, K] matched feature in candidate KF
+    tracked_count: jax.Array  # int32 [S]
+    pose: jax.Array           # f32 [S, 6] candidate-KF -> current-KF transform
+    pose_valid: jax.Array     # bool [S]
+    mean_residual: jax.Array  # f32 [S]
+
+
+def _direction_filter(keep, cur_y, cur_x, oth_y, oth_x, oidx):
+    """Mode-bin direction histogram (36 bins of 10 degrees), mode ±1 kept."""
+    dy = cur_y.astype(jnp.float32) - oth_y[oidx].astype(jnp.float32)
+    dx = cur_x.astype(jnp.float32) - oth_x[oidx].astype(jnp.float32)
+    ang = jnp.arctan2(dy, dx)  # [-pi, pi]
+    bins = jnp.clip(((ang + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32), 0, 35)
+    hist = jnp.zeros((36,), jnp.int32).at[bins].add(keep.astype(jnp.int32))
+    mode = jnp.argmax(hist).astype(jnp.int32)
+    diff = jnp.abs(bins - mode)
+    diff = jnp.minimum(diff, 36 - diff)  # circular
+    return diff <= 1
+
+
+def _da_single(
+    cur: FrameFeatures,
+    oth_row,
+    oth_valid_kf: jax.Array,
+    cam: StereoCamera,
+    key: jax.Array,
+    max_orb_distance_da: float,
+    residual_th: float,
+    max_y_diff_epipolar: float,
+    filter_by_direction: bool,
+    use_fund_matrix: bool,
+    use_change_pose: bool,
+    kernel_param: float,
+    min_alive: int = 15,
+):
+    (oy_l, ox_l, _oval_l, odesc_l, _oy_r, oxr, _ovr, _odesc_r, om_ridx,
+     om_valid, opts3d) = oth_row
+    k = cur.desc_l.shape[0]
+
+    dist = hamming_matrix(cur.desc_l, odesc_l)
+    gate = cur.m_valid[:, None] & om_valid[None, :] & oth_valid_kf
+    d = jnp.where(gate, dist, _BIG)
+    oidx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    bd = jnp.take_along_axis(d, oidx[:, None], axis=1)[:, 0]
+    raw = bd < _BIG
+    status = jnp.where(raw, S_TRACKED, S_NON_TRACKED).astype(jnp.int8)
+    keep = raw
+
+    # filter 1: direction histogram
+    if filter_by_direction:
+        ok = _direction_filter(keep, cur.ys_l, cur.xs_l, oy_l, ox_l, oidx)
+        status = jnp.where(keep & ~ok, S_REJ_SLOPE, status).astype(jnp.int8)
+        keep = keep & ok
+
+    # filter 2: ORB distance + 1-to-1 uniqueness (best wins)
+    ok = bd <= max_orb_distance_da
+    status = jnp.where(keep & ~ok, S_REJ_ORB, status).astype(jnp.int8)
+    keep = keep & ok
+    rows = jnp.arange(k, dtype=jnp.int32)
+    lex = jnp.where(keep, bd * k + rows, _BIG * k)
+    col_best = jnp.full((k,), _BIG * k, jnp.int32).at[oidx].min(lex)
+    ok = lex == col_best[oidx]
+    status = jnp.where(keep & ~ok, S_REJ_CONSISTENCY, status).astype(jnp.int8)
+    keep = keep & ok
+
+    # filter 3: fundamental-matrix RANSAC on left pixel pairs
+    if use_fund_matrix:
+        n_alive = jnp.sum(keep.astype(jnp.int32))
+        inl, _cnt, _F = ransac_fundamental(
+            cur.xs_l.astype(jnp.float32), cur.ys_l.astype(jnp.float32),
+            ox_l[oidx].astype(jnp.float32), oy_l[oidx].astype(jnp.float32),
+            keep, key, threshold=max_y_diff_epipolar,
+        )
+        apply = n_alive >= min_alive
+        ok = jnp.where(apply, inl, keep)
+        status = jnp.where(keep & ~ok, S_REJ_FUND_MATRIX, status).astype(jnp.int8)
+        keep = keep & ok
+
+    # filter 4: change-in-pose residual gating (≙ getChangeInPose)
+    pose = jnp.zeros((6,), jnp.float32)
+    pose_ok = jnp.asarray(False)
+    mean_res = jnp.asarray(0.0, jnp.float32)
+    if use_change_pose:
+        ur = cur.xs_r[cur.m_r_idx].astype(jnp.float32)
+        obs = jnp.stack(
+            [cur.xs_l.astype(jnp.float32), cur.ys_l.astype(jnp.float32), ur],
+            axis=-1,
+        )
+        sol = solve_pose(
+            opts3d[oidx], obs, keep, cam,
+            kernel_param=kernel_param,
+            residual_threshold=residual_th,
+            min_inliers=min_alive,
+        )
+        pose, pose_ok, mean_res = sol.pose, sol.valid, sol.mean_residual
+        ok = jnp.where(pose_ok, sol.inliers, jnp.zeros_like(keep))
+        status = jnp.where(keep & ~ok, S_REJ_CHANGE_POSE, status).astype(jnp.int8)
+        keep = keep & ok
+
+    tracked = jnp.sum(keep.astype(jnp.int32))
+    status = jnp.where(keep, S_TRACKED, status).astype(jnp.int8)
+    return status, jnp.where(keep, oidx, 0), tracked, pose, pose_ok, mean_res
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("filter_by_direction", "use_fund_matrix", "use_change_pose"),
+)
+def da_cascade(
+    cur: FrameFeatures,
+    others: KFArrays,            # stacked rows [S, K, ...] (gathered by caller)
+    others_valid: jax.Array,     # bool [S]
+    cam: StereoCamera,
+    key: jax.Array,
+    max_orb_distance_da: float = 60.0,
+    residual_th: float = 30.0,
+    max_y_diff_epipolar: float = 2.0,
+    filter_by_direction: bool = True,
+    use_fund_matrix: bool = True,
+    use_change_pose: bool = True,
+    kernel_param: float = 2.0,
+) -> DAResult:
+    """Run the full cascade of the current KF against S candidate KFs."""
+    s = others_valid.shape[0]
+    keys = jax.random.split(key, s)
+
+    def one(oth_row, ov, kk):
+        return _da_single(
+            cur, oth_row, ov, cam, kk,
+            max_orb_distance_da, residual_th, max_y_diff_epipolar,
+            filter_by_direction, use_fund_matrix, use_change_pose, kernel_param,
+        )
+
+    status, oidx, tracked, pose, pose_ok, mean_res = jax.vmap(one)(
+        tuple(others), others_valid, keys
+    )
+    tracked = jnp.where(others_valid, tracked, 0)
+    return DAResult(status, oidx, tracked, pose, pose_ok & others_valid, mean_res)

@@ -1,0 +1,123 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from srba_slam_tpu.models.data_association import (
+    S_TRACKED, S_REJ_ORB, da_cascade,
+)
+from srba_slam_tpu.models.keyframe import KeyframeStore
+from srba_slam_tpu.models.vo import FrameFeatures
+from srba_slam_tpu.ops import bits as bitops
+from srba_slam_tpu.utils import se3_np
+from srba_slam_tpu.utils.camera import StereoCamera
+
+CAM = StereoCamera.kitti()
+K = 128
+
+
+def _flip(rng, desc, k):
+    b = np.asarray(bitops.unpack_bits(desc)).copy()
+    for i in range(b.shape[0]):
+        idx = rng.choice(256, size=k, replace=False)
+        b[i, idx] ^= 1
+    return bitops.pack_bits(jnp.asarray(b))
+
+
+def _make_kf(rng, pose_wc, pts_w, desc):
+    """Synthesize a FrameFeatures for a camera at pose observing pts_w."""
+    pc = np.stack([se3_np.transform_point(se3_np.inverse(pose_wc), p) for p in pts_w])
+    ul = CAM.cx_l + CAM.fx_l * pc[:, 0] / pc[:, 2]
+    vl = CAM.cy_l + CAM.fy_l * pc[:, 1] / pc[:, 2]
+    ur = CAM.cx_r + CAM.fx_r * (pc[:, 0] - CAM.baseline) / pc[:, 2]
+    n = len(pts_w)
+    valid = np.zeros(K, bool); valid[:n] = True
+    pad = lambda a, fill=0: np.concatenate([a, np.full((K - n, *a.shape[1:]), fill, a.dtype)])
+    return FrameFeatures(
+        ys_l=jnp.asarray(pad(np.round(vl).astype(np.int32))),
+        xs_l=jnp.asarray(pad(np.round(ul).astype(np.int32))),
+        score_l=jnp.asarray(pad(np.ones(n, np.float32))),
+        valid_l=jnp.asarray(valid),
+        desc_l=desc,
+        ys_r=jnp.asarray(pad(np.round(vl).astype(np.int32))),
+        xs_r=jnp.asarray(pad(np.round(ur).astype(np.int32))),
+        valid_r=jnp.asarray(valid),
+        desc_r=desc,
+        m_r_idx=jnp.asarray(np.arange(K, dtype=np.int32)),
+        m_valid=jnp.asarray(valid),
+        pts3d=jnp.asarray(pad(pc.astype(np.float32))),
+    )
+
+
+def _setup(rng, n=100):
+    pts = np.stack([
+        rng.uniform(-10, 10, n), rng.uniform(-2, 2, n), rng.uniform(8, 35, n)
+    ], -1)
+    desc0 = jnp.asarray(rng.integers(0, 2**32, (K, 8), dtype=np.uint64).astype(np.uint32))
+    kf0 = _make_kf(rng, np.zeros(6), pts, desc0)
+    pose1 = np.array([0.01, 0.03, 0.0, 0.3, 0.0, 1.2])
+    kf1 = _make_kf(rng, pose1, pts, _flip(rng, desc0, 6))
+    return kf0, kf1, pose1, pts
+
+
+def _store_with(kfs):
+    store = KeyframeStore(max_kfs=4, capacity=K)
+    for f in kfs:
+        store.append(f, np.full(K, -1, np.int64), np.zeros(6, np.float32))
+    return store
+
+
+def test_cascade_tracks_and_recovers_pose(rng):
+    kf0, kf1, pose1, _ = _setup(rng)
+    store = _store_with([kf0])
+    others = jax.tree.map(lambda a: a[jnp.asarray([0])], store.arrays)
+    res = da_cascade(kf1, others, jnp.asarray([True]), CAM, jax.random.PRNGKey(0))
+    assert int(res.tracked_count[0]) > 80
+    assert bool(res.pose_valid[0])
+    # pose maps KF0-frame points into KF1 frame: expected inverse(pose1)
+    exp = se3_np.inverse(pose1)
+    np.testing.assert_allclose(np.asarray(res.pose[0]), exp, atol=5e-3)
+
+
+def test_cascade_rejects_unrelated_kf(rng):
+    kf0, kf1, _, pts = _setup(rng)
+    # unrelated KF: different descriptors, different geometry
+    desc2 = jnp.asarray(rng.integers(0, 2**32, (K, 8), dtype=np.uint64).astype(np.uint32))
+    kf2 = _make_kf(rng, np.array([0, 0, 0, 5.0, 0, -3.0]),
+                   pts[::-1] + rng.normal(0, 3, pts.shape), desc2)
+    store = _store_with([kf2])
+    others = jax.tree.map(lambda a: a[jnp.asarray([0])], store.arrays)
+    res = da_cascade(kf1, others, jnp.asarray([True]), CAM, jax.random.PRNGKey(0))
+    assert int(res.tracked_count[0]) < 15
+
+
+def test_cascade_batched_over_candidates(rng):
+    kf0, kf1, pose1, pts = _setup(rng)
+    desc2 = jnp.asarray(rng.integers(0, 2**32, (K, 8), dtype=np.uint64).astype(np.uint32))
+    kf_unrel = _make_kf(rng, np.zeros(6), pts + rng.normal(0, 4, pts.shape), desc2)
+    store = _store_with([kf0, kf_unrel])
+    others = jax.tree.map(lambda a: a[jnp.asarray([0, 1, 0])], store.arrays)
+    valid = jnp.asarray([True, True, False])  # third candidate masked off
+    res = da_cascade(kf1, others, valid, CAM, jax.random.PRNGKey(1))
+    t = np.asarray(res.tracked_count)
+    assert t[0] > 80          # true predecessor
+    assert t[1] < 15          # unrelated
+    assert t[2] == 0          # masked
+    assert not bool(res.pose_valid[2])
+
+
+def test_orb_distance_filter_status(rng):
+    kf0, kf1, _, _ = _setup(rng)
+    # corrupt half of kf1's descriptors heavily -> S_REJ_ORB for those
+    d = _flip(rng, kf1.desc_l, 120)
+    half = jnp.arange(K) < 50
+    kf1b = kf1._replace(desc_l=jnp.where(half[:, None], d, kf1.desc_l))
+    store = _store_with([kf0])
+    others = jax.tree.map(lambda a: a[jnp.asarray([0])], store.arrays)
+    # direction filter off so the heavily-corrupted half reaches the ORB
+    # distance filter (with it on, their random matches fail the slope test
+    # first — correct cascade ordering)
+    res = da_cascade(kf1b, others, jnp.asarray([True]), CAM, jax.random.PRNGKey(0),
+                     filter_by_direction=False)
+    status = np.asarray(res.status[0])
+    assert (status[:50] == S_REJ_ORB).sum() > 30
+    assert (status[50:100] == S_TRACKED).sum() > 35
