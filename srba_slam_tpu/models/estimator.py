@@ -1,0 +1,486 @@
+"""The SLAM estimator: full per-frame pipeline orchestration.
+
+TPU-native ≙ ``CSRBAStereoSLAMEstimator`` (reference
+src/CSRBAStereoSLAMEstimator.{h,cpp}): acquisition → VO (with the adaptive
+detector-threshold retry protocol) → keyframe-check triggers → BoW query →
+similar-KF selection → batched data-association cascade → loop-closure
+confirmation → feature-ID propagation → SRBA insertion → pose bookkeeping →
+final global pose-graph optimization and trajectory outputs.
+
+Host code here is orchestration only — every hot stage (frontend extraction,
+tracking/solving, BoW scoring, DA cascade, window BA, pose graph) is one of
+the fixed-shape jitted device programs from ``srba_slam_tpu.ops`` /
+``srba_slam_tpu.models``. Branch decisions use a handful of scalars pulled
+from device per frame.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from srba_slam_tpu.config import (
+    GeneralOptions, SRBAStereoSLAMOptions, VOOptions, load_config,
+)
+from srba_slam_tpu.models.bow import BoWDatabase, Vocabulary
+from srba_slam_tpu.models.data_association import da_cascade
+from srba_slam_tpu.models.keyframe import KeyframeStore
+from srba_slam_tpu.models.srba import SRBAEngine, SRBAParams
+from srba_slam_tpu.models.vo import StereoVOEngine
+from srba_slam_tpu.ops.posegraph import optimize_pose_graph
+from srba_slam_tpu.utils import se3_np
+from srba_slam_tpu.utils.profiler import Profiler
+from srba_slam_tpu.utils.thresholds import (
+    update_rotation_threshold, update_translation_threshold,
+)
+
+MAX_SIMILAR = 5  # prev KF + up to 4 BoW results (reference queries n=4)
+
+
+@dataclass
+class StepResult:
+    """What happened to one frame (for logging / tests)."""
+
+    frame_idx: int
+    vo_valid: bool = False
+    n_stereo_matches: int = 0
+    tracked_from_last_kf: int = 0
+    kf_check: bool = False
+    inserted_kf: int | None = None
+    loop_closure_with: int | None = None
+    best_tracked: int = 0
+    define_kf_ms: float = 0.0
+
+
+@dataclass
+class TStatsSRBA:
+    """≙ TStatsSRBA (reference utils.h:492-507) — per-insertion stats."""
+
+    time_ms: float
+    number_kfs: int
+    number_feats_new: int
+    number_feats_common: int
+
+
+class SRBAStereoSLAMEstimator:
+    def __init__(self, general: GeneralOptions | None = None,
+                 options: SRBAStereoSLAMOptions | None = None,
+                 vo_options: VOOptions | None = None,
+                 capacity: int = 512, max_kfs: int = 512):
+        self.general = general or GeneralOptions()
+        self.opts = options or SRBAStereoSLAMOptions()
+        self.vo_opts = vo_options or VOOptions()
+        self.capacity = capacity
+        self.max_kfs = max_kfs
+        self.profiler = Profiler()
+        self._initialized = False
+
+    # ------------------------------------------------------------------ init
+    @staticmethod
+    def from_config(path: str, **kw) -> "SRBAStereoSLAMEstimator":
+        gen, opts, vo = load_config(path)
+        est = SRBAStereoSLAMEstimator(gen, opts, vo, **kw)
+        return est
+
+    def initialize(self, vocabulary: Vocabulary | None = None):
+        """≙ initialize() (reference .cpp:1099-1339)."""
+        o = self.opts
+        self.cam = o.camera
+        # VO engine with the n_feats / fast_th overrides (reference .cpp:1140-1142)
+        self.vo_opts.n_feats = o.n_feats
+        self.vo_opts.fast_th = o.detect_fast_th
+        self.vo = StereoVOEngine(self.cam, self.vo_opts, capacity=self.capacity)
+        # vocabulary: explicit > config file > on-the-fly training later
+        if vocabulary is None and o.voc_filename and os.path.exists(o.voc_filename):
+            vocabulary = Vocabulary.load_dbow2(o.voc_filename)
+        self._pending_voc_training = vocabulary is None
+        self.bow = (
+            BoWDatabase(vocabulary, max_kfs=self.max_kfs) if vocabulary else None
+        )
+        self.store = KeyframeStore(max_kfs=self.max_kfs, capacity=self.capacity)
+        self.rba = SRBAEngine(
+            self.cam,
+            SRBAParams(
+                submap_size=o.srba_submap_size,
+                max_tree_depth=o.srba_max_tree_depth,
+                max_optimize_depth=o.srba_max_optimize_depth,
+                min_obs_to_loop_closure=o.min_obs_to_loop_closure,
+                use_robust_kernel=o.srba_use_robust_kernel,
+                kernel_param=o.srba_kernel_param,
+                std_noise_pixels=o.std_noise_pixels,
+                max_kfs=self.max_kfs,
+            ),
+        )
+        # pose state
+        self.current_pose = np.zeros(6)
+        self.last_kf_pose = np.zeros(6)
+        self.incr_from_last_kf = np.zeros(6)
+        self.incr_from_last_check = np.zeros(6)
+        # dynamic thresholds (working values start at the config limits;
+        # hard force-limits are 2x — reference .cpp:1163-1164)
+        self.updated_translation_th = float(self.opts.max_translation)
+        self.updated_rotation_th = float(self.opts.max_rotation)
+        self.next_match_id = 0
+        self.frame_idx = -1
+        self.kf_stats: list[TStatsSRBA] = []
+        self.step_log: list[StepResult] = []
+        self._da_key = jax.random.PRNGKey(7)
+        self._initialized = True
+
+    # ----------------------------------------------------------------- loop
+    def perform_stereo_slam(self, frame_source) -> list[StepResult]:
+        """≙ performStereoSLAM() main loop (reference .cpp:29-937)."""
+        assert self._initialized, "call initialize() first"
+        for left, right in frame_source:
+            self.step(left, right)
+            if self.general.max_num_kfs and self.store.n_kfs >= self.general.max_num_kfs:
+                break
+            if self.general.to_step and self.frame_idx >= self.general.to_step:
+                break
+        return self.step_log
+
+    # ----------------------------------------------------------------- step
+    def step(self, left: np.ndarray, right: np.ndarray) -> StepResult:
+        self.frame_idx += 1
+        res = StepResult(self.frame_idx)
+        self.step_log.append(res)
+
+        if self.store.n_kfs == 0:
+            self._insert_first_kf(left, right, res)
+            return res
+
+        vo = self._vo_with_adaptive_retry(left, right, res)
+        if vo is None or not vo.valid:
+            return res  # skip frame (≙ reference .cpp:318-323)
+        res.vo_valid = True
+        res.n_stereo_matches = vo.num_stereo_matches
+        res.tracked_from_last_kf = vo.tracked_from_last_kf
+
+        # pose integration (≙ .cpp:327-330): increment maps prev->cur points,
+        # so camera motion is its inverse
+        motion = se3_np.inverse(vo.pose_increment.astype(np.float64))
+        self.current_pose = se3_np.compose(self.current_pose, motion)
+        self.incr_from_last_kf = se3_np.compose(self.incr_from_last_kf, motion)
+        self.incr_from_last_check = se3_np.compose(self.incr_from_last_check, motion)
+
+        # KF-check triggers (≙ .cpp:366-394)
+        t_kf = np.linalg.norm(self.incr_from_last_kf[3:])
+        r_kf = np.rad2deg(np.linalg.norm(self.incr_from_last_kf[:3]))
+        t_chk = np.linalg.norm(self.incr_from_last_check[3:])
+        r_chk = np.rad2deg(np.linalg.norm(self.incr_from_last_check[:3]))
+        force_new_kf = (
+            t_kf > 2.0 * self.opts.max_translation
+            or r_kf > 2.0 * self.opts.max_rotation
+        )
+        check_tracking = vo.tracked_from_last_kf < self.opts.vo_id_tracking_th
+        check_distance = (
+            t_chk > self.updated_translation_th or r_chk > self.updated_rotation_th
+        )
+        if not (force_new_kf or check_tracking or check_distance):
+            return res
+        res.kf_check = True
+        self.incr_from_last_check = np.zeros(6)
+        self._kf_check(res, force_new_kf)
+        return res
+
+    # ------------------------------------------------------- adaptive VO
+    def _vo_with_adaptive_retry(self, left, right, res: StepResult):
+        """≙ the FAST/ORB threshold retry protocol (reference .cpp:263-315)."""
+        th_min_matches = self.opts.adaptive_th_min_matches
+        vo = None
+        for _attempt in range(6):
+            state = self.vo.get_state()
+            vo = self.vo.process_stereo_pair(left, right)
+            n = vo.num_stereo_matches
+            if n >= th_min_matches:
+                break
+            if not self.vo.is_fast_th_min():
+                self.vo.set_fast_threshold(self.vo.fast_th - 10)
+            elif not self.vo.is_orb_th_max():
+                self.vo.set_orb_threshold(self.vo.orb_th + 10)
+            else:
+                break
+            self.vo.set_state(state)  # re-process the same frame
+        n = vo.num_stereo_matches
+        if n < 8:
+            return None  # hopeless frame (≙ abort below 8 matches)
+        if n < 1.2 * th_min_matches:
+            self.vo.set_fast_threshold(self.vo.fast_th - 5)
+        else:
+            # healthy: drift back toward the configured threshold
+            if self.vo.fast_th < self.vo.fast_th_max:
+                self.vo.set_fast_threshold(self.vo.fast_th + 5)
+            self.vo.reset_orb_threshold()
+        return vo
+
+    # ------------------------------------------------------------ first KF
+    def _insert_first_kf(self, left, right, res: StepResult):
+        """≙ the FIRST FRAME branch (reference .cpp:82-216)."""
+        vo = self.vo.process_stereo_pair(left, right)
+        if self.bow is None and self._pending_voc_training:
+            self._train_vocabulary_from_frame()
+        frame = self.vo.last_frame()
+        ids = self._mint_fresh_ids(np.asarray(frame.m_valid))
+        kf_id = self.store.append(frame, ids, self.current_pose)
+        self.bow.insert(frame.desc_l, frame.m_valid)
+        obs = self._build_obs(frame, ids, first_kf=True)
+        info = self.rba.define_new_keyframe(obs, run_opt=False)
+        self.vo.set_frame_ids(ids, set(ids[ids >= 0]))
+        res.vo_valid = True
+        res.inserted_kf = kf_id
+        res.n_stereo_matches = vo.num_stereo_matches
+        self.kf_stats.append(TStatsSRBA(0.0, 1, int((ids >= 0).sum()), 0))
+
+    def _train_vocabulary_from_frame(self):
+        """No vocabulary file: bootstrap one from the first frame's
+        descriptors (framework capability beyond the reference, which
+        requires a prebuilt voc.yml.gz)."""
+        frame = self.vo.last_frame()
+        desc = np.asarray(frame.desc_l)[np.asarray(frame.m_valid)]
+        if len(desc) < 32:  # degenerate; random fallback
+            desc = np.random.default_rng(0).integers(
+                0, 2**32, (1024, 8), dtype=np.uint64
+            ).astype(np.uint32)
+        voc = Vocabulary.train(desc, k=8, L=3, seed=0)
+        self.bow = BoWDatabase(voc, max_kfs=self.max_kfs)
+        self._pending_voc_training = False
+
+    # ------------------------------------------------------------- KF check
+    def _kf_check(self, res: StepResult, force_new_kf: bool):
+        import time as _time
+
+        frame = self.vo.last_frame()
+
+        with self.profiler.section("queryDB"):
+            scores, ids = self.bow.query(frame.desc_l, frame.m_valid,
+                                         max_results=4)
+        with self.profiler.section("get_similar_kfs"):
+            similar, lc_candidate = self._get_similar_kfs(scores, ids)
+        if scores[0] < 0.05:
+            force_new_kf = True  # "lost camera?" floor (≙ .cpp:439-440)
+
+        with self.profiler.section("performDA"):
+            da = self._run_da(frame, similar)
+        tracked = np.asarray(da.tracked_count)
+        order = np.argsort(-tracked)  # ≙ DATrackedSorter ranking
+        best = int(tracked[order[0]]) if len(order) else 0
+        res.best_tracked = best
+
+        # LC confirmation (≙ .cpp:482-521)
+        lc_confirmed = None
+        with self.profiler.section("confirmLC"):
+            if lc_candidate is not None:
+                lc_pos = similar.index(lc_candidate)
+                if tracked[lc_pos] > 0.5 * max(best, 1):
+                    lc_confirmed = lc_candidate
+                    order = np.concatenate(
+                        [[lc_pos], [o for o in order if o != lc_pos]]
+                    ).astype(int)
+
+        insert = force_new_kf or best < self.opts.updated_matches_th
+        if not insert:
+            if best < self.opts.updated_matches_th + self.opts.up_matches_th_plus:
+                # shrink the dynamic thresholds (≙ .cpp:524-541)
+                t = float(np.linalg.norm(self.incr_from_last_kf[3:]))
+                r = np.rad2deg(np.linalg.norm(self.incr_from_last_kf[:3]))
+                self.updated_translation_th = update_translation_threshold(
+                    t, self.opts.max_translation
+                )
+                self.updated_rotation_th = update_rotation_threshold(
+                    r, self.opts.max_rotation
+                )
+            return
+
+        # ----- INSERT NEW KF (≙ .cpp:563-924)
+        t0 = _time.perf_counter()
+        ids, n_new, n_common = self._propagate_ids(frame, da, similar, order)
+        obs = self._build_obs(frame, ids, first_kf=False)
+        if lc_confirmed is not None:
+            self.rba.loop_closure_detected(True)
+            self.rba.set_lc_old_id(lc_confirmed)
+            res.loop_closure_with = lc_confirmed
+        if self.opts.use_initial_pose:
+            self.rba.set_initial_kf_pose(self.incr_from_last_kf)
+        with self.profiler.section("define_kf"):
+            info = self.rba.define_new_keyframe(obs, run_opt=True)
+        kf_id = info.kf_id
+        new_global = self.rba.kf_global[kf_id].copy()
+        self.store.append(frame, ids, new_global)
+        self.bow.insert(frame.desc_l, frame.m_valid)
+        self.vo.set_frame_ids(ids, set(int(i) for i in ids if i >= 0))
+        # restore thresholds + reset accumulators (≙ .cpp:662-663, 922-923)
+        self.updated_translation_th = float(self.opts.max_translation)
+        self.updated_rotation_th = float(self.opts.max_rotation)
+        self.current_pose = new_global.copy()
+        self.last_kf_pose = new_global.copy()
+        self.incr_from_last_kf = np.zeros(6)
+        dt = (_time.perf_counter() - t0) * 1e3
+        res.inserted_kf = kf_id
+        res.define_kf_ms = dt
+        self.kf_stats.append(TStatsSRBA(dt, self.store.n_kfs, n_new, n_common))
+
+    def _get_similar_kfs(self, scores, ids):
+        """≙ m_get_similar_kfs (reference .cpp:1737-1878): prev KF always in;
+        BoW results with score > 0.8*best; LC candidate = far-away (topo
+        distance from the current submap base > lc_distance) with score > 0.05."""
+        prev_kf = self.store.n_kfs - 1
+        similar = [prev_kf]
+        best = scores[0] if len(scores) else 0.0
+        lc_candidate = None
+        cur_base = (self.store.n_kfs // self.opts.srba_submap_size) \
+            * self.opts.srba_submap_size
+        cur_base = min(cur_base, prev_kf)
+        for s, i in zip(scores, ids):
+            i = int(i)
+            if i < 0 or i == prev_kf or s <= 0:
+                continue
+            if s > 0.8 * best and i not in similar and len(similar) < MAX_SIMILAR:
+                similar.append(i)
+            if (
+                lc_candidate is None
+                and s > 0.05
+                and self.rba.topo_distance(cur_base, i, self.opts.lc_distance + 1)
+                > self.opts.lc_distance
+            ):
+                lc_candidate = i
+                if i not in similar:
+                    if len(similar) >= MAX_SIMILAR:
+                        similar[-1] = i
+                    else:
+                        similar.append(i)
+        return similar, lc_candidate
+
+    def _run_da(self, frame, similar):
+        idx = np.zeros(MAX_SIMILAR, np.int32)
+        valid = np.zeros(MAX_SIMILAR, bool)
+        idx[: len(similar)] = similar
+        valid[: len(similar)] = True
+        others = jax.tree.map(lambda a: a[jnp.asarray(idx)], self.store.arrays)
+        self._da_key, sub = jax.random.split(self._da_key)
+        m = self.opts.da_stage2_method
+        return da_cascade(
+            frame, others, jnp.asarray(valid), self.cam, sub,
+            max_orb_distance_da=self.opts.max_orb_distance_da,
+            residual_th=self.opts.residual_th,
+            max_y_diff_epipolar=self.opts.max_y_diff_epipolar,
+            filter_by_direction=self.opts.da_filter_by_direction,
+            use_fund_matrix=m in (1, 3),
+            use_change_pose=m in (2, 3),
+            kernel_param=self.vo_opts.kernel_param,
+        )
+
+    def _propagate_ids(self, frame, da, similar, order):
+        """Feature-ID propagation (≙ .cpp:571-617): per stereo match, the
+        first tracked hit across ranked similar KFs reuses that KF's match
+        ID (duplicate guard); everything else gets a fresh ID."""
+        k = self.capacity
+        m_valid = np.asarray(frame.m_valid)
+        status = np.asarray(da.status)       # [S, K]
+        oidx = np.asarray(da.other_idx)
+        ids = np.full(k, -1, np.int64)
+        used: set[int] = set()
+        n_common = 0
+        for rank in order:
+            if rank >= len(similar):
+                continue
+            other_kf = similar[int(rank)]
+            other_ids = self.store.match_ids[other_kf]
+            tracked = status[rank] == 1
+            for f in np.nonzero(tracked & m_valid & (ids < 0))[0]:
+                cand = int(other_ids[oidx[rank, f]])
+                if cand >= 0 and cand not in used:
+                    ids[f] = cand
+                    used.add(cand)
+                    n_common += 1
+        fresh = m_valid & (ids < 0)
+        n_new = int(fresh.sum())
+        ids[fresh] = np.arange(self.next_match_id, self.next_match_id + n_new)
+        self.next_match_id += n_new
+        return ids, n_new, n_common
+
+    def _mint_fresh_ids(self, m_valid: np.ndarray) -> np.ndarray:
+        ids = np.full(self.capacity, -1, np.int64)
+        n = int(m_valid.sum())
+        ids[m_valid] = np.arange(self.next_match_id, self.next_match_id + n)
+        self.next_match_id += n
+        return ids
+
+    def _build_obs(self, frame, ids, first_kf: bool):
+        """Observation list for SRBA (≙ .cpp:139-161 / 685-728)."""
+        xs_l = np.asarray(frame.xs_l, np.float64)
+        ys_l = np.asarray(frame.ys_l, np.float64)
+        xs_r = np.asarray(frame.xs_r, np.float64)
+        m_r = np.asarray(frame.m_r_idx)
+        m_valid = np.asarray(frame.m_valid)
+        pts = np.asarray(frame.pts3d, np.float64)
+        obs = []
+        known = self.rba.lm_id2idx
+        for f in np.nonzero(m_valid)[0]:
+            lm_id = int(ids[f])
+            if lm_id < 0:
+                continue
+            rel = pts[f] if lm_id not in known else None
+            obs.append((lm_id, xs_l[f], ys_l[f], xs_r[m_r[f]], rel))
+        return obs
+
+    # -------------------------------------------------------------- epilogue
+    def finalize(self, out_dir: str | None = None):
+        """Final global pose-graph optimization + outputs
+        (≙ the epilogue, reference .cpp:939-1096)."""
+        n = self.store.n_kfs
+        if n >= 2 and len(self.rba.edge_u):
+            eu, ev, rel = self.rba.get_global_graphslam_problem()
+            e_pad = max(64, 1 << (len(eu) - 1).bit_length())
+            n_pad = max(64, 1 << (n - 1).bit_length())
+            eu_a = np.zeros(e_pad, np.int32); eu_a[: len(eu)] = eu
+            ev_a = np.zeros(e_pad, np.int32); ev_a[: len(ev)] = ev
+            rel_a = np.zeros((e_pad, 6), np.float32); rel_a[: len(eu)] = rel
+            e_valid = np.zeros(e_pad, bool); e_valid[: len(eu)] = True
+            poses0 = np.zeros((n_pad, 6), np.float32)
+            poses0[:n] = self.rba.kf_global[:n]
+            with self.profiler.section("global_posegraph"):
+                poses, c0, c1, _ = optimize_pose_graph(
+                    jnp.asarray(poses0), jnp.asarray(np.arange(n_pad) < n),
+                    jnp.asarray(eu_a), jnp.asarray(ev_a), jnp.asarray(rel_a),
+                    jnp.asarray(e_valid), max_iters=25,
+                )
+            self.final_poses = np.asarray(poses)[:n].astype(np.float64)
+        else:
+            self.final_poses = self.rba.kf_global[:n].copy()
+
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            self.save_trajectory(os.path.join(out_dir, "out_kf_poses.txt"))
+            self.save_kf_stats(os.path.join(out_dir, "time_new_kf.txt"))
+            self.profiler.save_csv(os.path.join(out_dir, "profiler.csv"))
+            self.rba.save_graph_as_dot(os.path.join(out_dir, "final_graph.dot"))
+        return self.final_poses
+
+    def save_trajectory(self, path: str):
+        """``kf x y z yaw pitch roll`` rows (≙ out_kf_poses.txt,
+        reference .cpp:977-987)."""
+        from srba_slam_tpu.utils import se3 as se3j
+
+        with open(path, "w") as f:
+            for i in range(self.store.n_kfs):
+                p = self.final_poses[i]
+                R, t = se3_np.exp(p)
+                ypr = np.asarray(se3j.ypr_from_rotmat(jnp.asarray(R, jnp.float32)))
+                f.write(
+                    f"{i} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+                    f"{ypr[0]:.6f} {ypr[1]:.6f} {ypr[2]:.6f}\n"
+                )
+
+    def save_kf_stats(self, path: str):
+        """≙ time_new_kf.txt (reference .cpp:940-943)."""
+        with open(path, "w") as f:
+            for s in self.kf_stats:
+                f.write(
+                    f"{s.time_ms:.3f} {s.number_kfs} {s.number_feats_new} "
+                    f"{s.number_feats_common}\n"
+                )

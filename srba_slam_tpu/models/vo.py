@@ -291,3 +291,13 @@ class StereoVOEngine:
 
     def reset_ids(self):
         self._kf_id_set = set()
+
+    # --- state snapshot (for the estimator's re-process-same-frame retry,
+    #     ≙ the `repeat` request flag of TStereoOdometryRequest) -----------
+    def get_state(self):
+        return (self._prev, None if self._prev_ids is None else self._prev_ids.copy(),
+                self._last_pose_inc.copy(), self._next_id)
+
+    def set_state(self, state):
+        self._prev, ids, self._last_pose_inc, self._next_id = state
+        self._prev_ids = None if ids is None else ids.copy()

@@ -1,0 +1,98 @@
+"""Synthetic stereo-world renderer (tests, benchmarks, demos).
+
+Renders a textured, tilted plane seen from a moving rectified stereo rig —
+ray-plane intersection + bilinear texture sampling, all in numpy. Gives
+pixel-accurate ground-truth camera motion for VO / SLAM tests without any
+dataset dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from srba_slam_tpu.utils import se3
+import jax.numpy as jnp
+
+
+def smooth_texture(rng, h=2048, w=2048, spacing=48, sigma=6.0):
+    """Field of Gaussian blobs with graded random amplitudes on a dark floor.
+
+    Gives FAST corners with well-separated, persistent scores — the detector's
+    top-K selection is then repeatable across small viewpoint changes, like on
+    natural images (smooth noise textures produce thousands of near-tied weak
+    corners and pathological selection churn).
+    """
+    tex = np.full((h, w), 20.0, np.float32)
+    rad = int(3 * sigma)
+    lo = rad + spacing // 2
+    ys = np.arange(lo, h - lo, spacing)
+    xs = np.arange(lo, w - lo, spacing)
+    win = np.arange(-rad, rad + 1)
+    gy, gx = np.meshgrid(win, win, indexing="ij")
+    for y0 in ys:
+        for x0 in xs:
+            cy = y0 + rng.uniform(-spacing / 3, spacing / 3)
+            cx = x0 + rng.uniform(-spacing / 3, spacing / 3)
+            amp = rng.uniform(40.0, 235.0)
+            iy, ix = int(round(cy)), int(round(cx))
+            fy, fx = cy - iy, cx - ix
+            blob = amp * np.exp(-((gy - fy) ** 2 + (gx - fx) ** 2) / (2 * sigma**2))
+            tex[iy - rad : iy + rad + 1, ix - rad : ix + rad + 1] += blob.astype(np.float32)
+    return np.clip(tex, 0.0, 255.0)
+
+
+def _bilinear(tex, u, v):
+    h, w = tex.shape
+    u = np.clip(u, 0, w - 1.001)
+    v = np.clip(v, 0, h - 1.001)
+    u0 = np.floor(u).astype(np.int64)
+    v0 = np.floor(v).astype(np.int64)
+    fu, fv = u - u0, v - v0
+    t00 = tex[v0, u0]
+    t01 = tex[v0, u0 + 1]
+    t10 = tex[v0 + 1, u0]
+    t11 = tex[v0 + 1, u0 + 1]
+    return (
+        t00 * (1 - fu) * (1 - fv)
+        + t01 * fu * (1 - fv)
+        + t10 * (1 - fu) * fv
+        + t11 * fu * fv
+    )
+
+
+class PlaneScene:
+    """Textured plane n·x = d in world coordinates (default: tilted, ~12m away)."""
+
+    def __init__(self, rng, normal=(0.05, 0.08, -1.0), d=-12.0, tex_scale=60.0):
+        self.tex = smooth_texture(rng)
+        n = np.asarray(normal, np.float64)
+        self.n = n / np.linalg.norm(n)
+        self.d = d / np.linalg.norm(np.asarray(normal, np.float64))
+        self.tex_scale = tex_scale  # texture pixels per world meter
+
+    def render(self, cam, pose_wc: np.ndarray):
+        """Render the stereo pair for a camera at world pose `pose_wc`
+        ([6] rotvec+trans; camera looks +z, x right, y down)."""
+        R, t = se3.exp(jnp.asarray(pose_wc, jnp.float32))
+        R = np.asarray(R, np.float64)
+        t = np.asarray(t, np.float64)
+        h, w = cam.height, cam.width
+        us, vs = np.meshgrid(np.arange(w), np.arange(h))
+
+        def render_eye(cx, cy, fx, fy, origin):
+            dirs = np.stack(
+                [(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, np.float64)], -1
+            )
+            dirs_w = dirs @ R.T
+            denom = dirs_w @ self.n
+            lam = (self.d - origin @ self.n) / np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+            pts = origin[None, None, :] + lam[..., None] * dirs_w
+            u_t = pts[..., 0] * self.tex_scale + self.tex.shape[1] / 2
+            v_t = pts[..., 1] * self.tex_scale + self.tex.shape[0] / 2
+            img = _bilinear(self.tex, u_t, v_t)
+            return img.astype(np.float32)
+
+        left = render_eye(cam.cx_l, cam.cy_l, cam.fx_l, cam.fy_l, t)
+        right_origin = t + R @ np.array([cam.baseline, 0.0, 0.0])
+        right = render_eye(cam.cx_r, cam.cy_r, cam.fx_r, cam.fy_r, right_origin)
+        return left, right

@@ -1,0 +1,109 @@
+import os
+
+import numpy as np
+import pytest
+
+from srba_slam_tpu.config import GeneralOptions, SRBAStereoSLAMOptions, VOOptions
+from srba_slam_tpu.models.estimator import SRBAStereoSLAMEstimator
+from srba_slam_tpu.utils.camera import StereoCamera
+from srba_slam_tpu.utils.framesource import SyntheticSource
+from srba_slam_tpu.utils import se3_np
+
+
+def small_cam():
+    return StereoCamera(
+        fx_l=180.0, fy_l=180.0, cx_l=160.0, cy_l=100.0,
+        fx_r=180.0, fy_r=180.0, cx_r=160.0, cy_r=100.0,
+        baseline=0.54, width=320, height=200,
+    )
+
+
+def make_estimator(n_feats=256, **opt_kw):
+    cam = small_cam()
+    opt_kw.setdefault("da_filter_by_direction", False)
+    # the synthetic plane scene is zoom-dominated: the direction-histogram
+    # filter (built for rotation-dominant displacement) would keep only a
+    # radial sliver of matches there; residual_th=10 also guards filter 4
+    opt_kw.setdefault("residual_th", 10.0)
+    opts = SRBAStereoSLAMOptions(
+        camera=cam, n_feats=n_feats, detect_fast_th=12,
+        adaptive_th_min_matches=40, max_translation=0.5, max_rotation=10.0,
+        updated_matches_th=40, vo_id_tracking_th=30, srba_submap_size=5,
+        srba_max_optimize_depth=3, **opt_kw,
+    )
+    est = SRBAStereoSLAMEstimator(
+        GeneralOptions(), opts, VOOptions(fast_th=12, n_feats=n_feats),
+        capacity=256, max_kfs=64,
+    )
+    est.initialize()
+    return est
+
+
+@pytest.fixture(scope="module")
+def source():
+    return SyntheticSource(small_cam(), n_frames=30, seed=11, step=0.12)
+
+
+def test_full_pipeline_runs(source, tmp_path):
+    est = make_estimator()
+    log = est.perform_stereo_slam(source)
+    assert est.store.n_kfs >= 3, "should insert several keyframes over 3.5m"
+    assert est.rba.n_kfs == est.store.n_kfs
+    assert est.bow.n_kfs == est.store.n_kfs
+    # finalize writes the reference's output files
+    poses = est.finalize(out_dir=str(tmp_path))
+    assert poses.shape == (est.store.n_kfs, 6)
+    for fname in ("out_kf_poses.txt", "time_new_kf.txt", "profiler.csv",
+                  "final_graph.dot"):
+        assert os.path.exists(tmp_path / fname), fname
+    lines = open(tmp_path / "out_kf_poses.txt").read().strip().splitlines()
+    assert len(lines) == est.store.n_kfs
+    assert len(lines[0].split()) == 7
+
+
+def test_trajectory_accuracy(source, tmp_path):
+    est = make_estimator()
+    est.perform_stereo_slam(source)
+    poses = est.finalize()
+    # compare each KF global pose against the ground-truth trajectory:
+    # KF poses should lie on the GT path (distance to nearest GT pose small)
+    gt = source.gt_poses
+    errs = []
+    for p in poses:
+        d = np.linalg.norm(gt[:, 3:] - p[3:], axis=1)
+        errs.append(d.min())
+    errs = np.asarray(errs)
+    total = np.linalg.norm(gt[-1, 3:])
+    assert errs.max() < max(0.05 * total, 0.08), (errs.max(), total)
+
+
+def test_keyframe_spacing(source):
+    est = make_estimator()
+    est.perform_stereo_slam(source)
+    poses = est.rba.kf_global[: est.store.n_kfs]
+    # consecutive KFs should be separated (no KF spam) but not too far
+    gaps = np.linalg.norm(np.diff(poses[:, 3:], axis=0), axis=1)
+    assert gaps.min() > 0.05
+    assert gaps.max() < 2.5
+
+
+def test_match_id_propagation(source):
+    est = make_estimator()
+    est.perform_stereo_slam(source)
+    # consecutive KFs share a healthy number of landmark IDs
+    shared = []
+    for i in range(1, est.store.n_kfs):
+        a = set(est.store.match_ids[i - 1][est.store.match_ids[i - 1] >= 0])
+        b = set(est.store.match_ids[i][est.store.match_ids[i] >= 0])
+        shared.append(len(a & b))
+    assert min(shared) > 10, shared
+    # and stats recorded common features
+    assert any(s.number_feats_common > 10 for s in est.kf_stats[1:])
+
+
+def test_stats_and_profiler(source):
+    est = make_estimator()
+    est.perform_stereo_slam(source)
+    assert len(est.kf_stats) == est.store.n_kfs
+    for name in ("queryDB", "performDA", "define_kf"):
+        assert name in est.profiler.sections, name
