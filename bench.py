@@ -1,0 +1,81 @@
+"""End-to-end benchmark: KITTI-resolution stereo SLAM frames/sec per chip.
+
+Runs the full estimator pipeline (frontend + tracking + KF checks + DA +
+SRBA insertions) over a pre-rendered synthetic sequence at the reference's
+canonical benchmark geometry (1226x370, KITTI calibration, 500-feature
+budget — demo/config_imgdir_kitti_srba.ini), on whatever accelerator JAX
+provides (the tunneled TPU under the driver; CPU as fallback).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured fps divided by 15 fps — the assumed
+single-thread CPU throughput of the reference app at this configuration
+(the reference publishes no numbers, BASELINE.md; 10-20 fps is the typical
+range for single-thread ORB stereo VO + SRBA at 1226x370 with 500
+features). The driver's north star is vs_baseline >= 10.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+BASELINE_FPS = 15.0
+WARMUP_FRAMES = 12
+TIMED_FRAMES = 30
+
+
+def main():
+    import jax
+
+    from srba_slam_tpu.config import (
+        GeneralOptions, SRBAStereoSLAMOptions, VOOptions,
+    )
+    from srba_slam_tpu.models.estimator import SRBAStereoSLAMEstimator
+    from srba_slam_tpu.utils.camera import StereoCamera
+    from srba_slam_tpu.utils.framesource import SyntheticSource
+
+    cam = StereoCamera.kitti()
+    n_frames = WARMUP_FRAMES + TIMED_FRAMES
+    src = SyntheticSource(cam, n_frames=n_frames, seed=11, step=0.8)
+    frames = list(src)  # pre-render so host rendering never pollutes timing
+
+    opts = SRBAStereoSLAMOptions(
+        camera=cam, n_feats=500, detect_fast_th=20,
+        adaptive_th_min_matches=100,
+        max_translation=2.0, max_rotation=25.0,
+        updated_matches_th=60, vo_id_tracking_th=40,
+        srba_submap_size=10, srba_max_tree_depth=4, srba_max_optimize_depth=5,
+        srba_kernel_param=1.5, da_filter_by_direction=False, residual_th=30.0,
+    )
+    est = SRBAStereoSLAMEstimator(
+        GeneralOptions(), opts, VOOptions(fast_th=20, n_feats=500),
+        capacity=512, max_kfs=128,
+    )
+    est.initialize()
+
+    for left, right in frames[:WARMUP_FRAMES]:
+        est.step(left, right)
+    # make sure all device work from warmup is done
+    jax.block_until_ready(est.vo.last_frame().desc_l)
+
+    t0 = time.perf_counter()
+    for left, right in frames[WARMUP_FRAMES:]:
+        est.step(left, right)
+    jax.block_until_ready(est.vo.last_frame().desc_l)
+    dt = time.perf_counter() - t0
+
+    fps = TIMED_FRAMES / dt
+    backend = jax.devices()[0].platform
+    print(json.dumps({
+        "metric": f"kitti_synth_e2e_fps_per_chip[{backend}]",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -136,19 +136,22 @@ class Vocabulary:
 
 
 @functools.partial(jax.jit, static_argnames=())
-def bow_vector(desc_bits: jax.Array, valid: jax.Array,
+def bow_vector(desc_packed: jax.Array, valid: jax.Array,
                leaf_bits: jax.Array, weights: jax.Array) -> jax.Array:
-    """Quantize K descriptors to leaf words and build the TF-IDF L1-normalized
-    BoW vector. desc_bits {0,1} int8 [K,256]; returns f32 [W_pad]."""
-    # exact nearest leaf by Hamming == argmax of dot with (2b-1) trick:
-    # dist = pop(d) + pop(w) - 2 d·w; argmin over w
+    """Quantize K packed descriptors to leaf words and build the TF-IDF
+    L1-normalized BoW vector. Returns f32 [W_pad]."""
+    # exact nearest leaf by Hamming: dist = pop(d) + pop(w) - 2 d·w, argmin
+    # over w. bf16 inputs / f32 accumulation are exact here and avoid the
+    # slow int32 matmul+argmin path on TPU (see ops.hamming).
+    db = bitops.unpack_bits(desc_packed, jnp.bfloat16)
+    lb = leaf_bits.astype(jnp.bfloat16)
     dot = jax.lax.dot_general(
-        desc_bits, leaf_bits,
+        db, lb,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=jnp.float32,
     )  # [K, W]
-    pw = jnp.sum(leaf_bits.astype(jnp.int32), axis=-1)  # [W]
-    dist = pw[None, :] - 2 * dot  # per-row constant pop(d) dropped (argmin-safe)
+    pw = jnp.sum(lb.astype(jnp.float32), axis=-1)  # [W]
+    dist = pw[None, :] - 2.0 * dot  # per-row constant pop(d) dropped (argmin-safe)
     word = jnp.argmin(dist, axis=-1)  # [K]
     contrib = jnp.where(valid, weights[word], 0.0)
     v = jnp.zeros(weights.shape, jnp.float32).at[word].add(contrib)
@@ -177,8 +180,7 @@ class BoWDatabase:
         self.n_kfs = 0
 
     def compute_bow(self, desc_packed: jax.Array, valid: jax.Array) -> jax.Array:
-        bits = bitops.unpack_bits(desc_packed)
-        return bow_vector(bits, valid, self._leaf_bits, self._weights)
+        return bow_vector(desc_packed, valid, self._leaf_bits, self._weights)
 
     def insert(self, desc_packed: jax.Array, valid: jax.Array) -> int:
         """Insert a keyframe's descriptors; returns its DB entry id (== KF id)."""

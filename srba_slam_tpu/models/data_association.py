@@ -47,7 +47,7 @@ S_REJ_FUND_MATRIX = 4
 S_REJ_CHANGE_POSE = 5
 S_REJ_CONSISTENCY = 6
 
-_BIG = jnp.int32(1 << 20)
+_BIG = jnp.float32(1e9)
 
 
 class DAResult(NamedTuple):
@@ -93,11 +93,11 @@ def _da_single(
      om_valid, opts3d) = oth_row
     k = cur.desc_l.shape[0]
 
-    dist = hamming_matrix(cur.desc_l, odesc_l)
+    dist = hamming_matrix(cur.desc_l, odesc_l)  # f32
     gate = cur.m_valid[:, None] & om_valid[None, :] & oth_valid_kf
     d = jnp.where(gate, dist, _BIG)
     oidx = jnp.argmin(d, axis=1).astype(jnp.int32)
-    bd = jnp.take_along_axis(d, oidx[:, None], axis=1)[:, 0]
+    bd = jnp.min(d, axis=1)
     raw = bd < _BIG
     status = jnp.where(raw, S_TRACKED, S_NON_TRACKED).astype(jnp.int8)
     keep = raw
@@ -112,9 +112,11 @@ def _da_single(
     ok = bd <= max_orb_distance_da
     status = jnp.where(keep & ~ok, S_REJ_ORB, status).astype(jnp.int8)
     keep = keep & ok
-    rows = jnp.arange(k, dtype=jnp.int32)
-    lex = jnp.where(keep, bd * k + rows, _BIG * k)
-    col_best = jnp.full((k,), _BIG * k, jnp.int32).at[oidx].min(lex)
+    rows = jnp.arange(k, dtype=jnp.int32).astype(jnp.float32)
+    lex = jnp.where(keep, bd * k + rows, _BIG)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    claimed = cols == oidx[:, None]
+    col_best = jnp.min(jnp.where(claimed, lex[:, None], _BIG), axis=0)
     ok = lex == col_best[oidx]
     status = jnp.where(keep & ~ok, S_REJ_CONSISTENCY, status).astype(jnp.int8)
     keep = keep & ok

@@ -85,10 +85,15 @@ def extract_and_match(
         s = fast_score_map(img, fast_th, margin=margin)
         s = local_max_suppress(s, radius=nms_radius)
         ys, xs, sc, valid = grid_topk(s, cell=cell, k=k)
+        # stage barrier: without it XLA re-fuses the whole detector into the
+        # descriptor gathers / matcher broadcasts and recomputes it per
+        # element (50 ms and 400 s compiles observed; ~2 ms with barriers)
+        ys, xs, sc, valid = jax.lax.optimization_barrier((ys, xs, sc, valid))
         desc, _ = describe(img, ys, xs, valid, oriented=oriented)
         return ys, xs, sc, valid, desc
 
-    (ys, xs, sc, valid, desc) = jax.vmap(frontend)(imgs)
+    out = jax.vmap(frontend)(imgs)
+    (ys, xs, sc, valid, desc) = jax.lax.optimization_barrier(out)
     m = stereo_match(
         desc[0], desc[1], ys[0], xs[0], ys[1], xs[1], valid[0], valid[1],
         max_y_diff=max_y_diff, orb_max_distance=orb_th,
@@ -136,6 +141,9 @@ def track_and_solve(
         [cur.xs_l.astype(jnp.float32), cur.ys_l.astype(jnp.float32), ur], axis=-1
     )
     valid = m.valid & cur.m_valid
+    # stage barrier before the GN loop (prevents recompute-through-fusion of
+    # the matcher into every solver iteration)
+    pts_prev, obs, valid = jax.lax.optimization_barrier((pts_prev, obs, valid))
     res = solve_pose(
         pts_prev, obs, valid, cam,
         initial_pose=initial_pose,

@@ -25,24 +25,19 @@ import jax.numpy as jnp
 def local_max_suppress(score: jax.Array, radius: int = 2) -> jax.Array:
     """Zero out pixels that are not the maximum of their (2r+1)^2 window."""
     k = 2 * radius + 1
-    pooled = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME"
-    )
-    is_max = score >= pooled
-    # break plateau ties: keep the first pixel (row-major) of any tied window
     h, w = score.shape
+    # single keyed max-pool: score with a tiny row-major-index tiebreak, so
+    # exactly one pixel per plateau survives (the lexically first)
     ridx = (
         jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
         + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     ).astype(jnp.float32)
-    # among equal scores, prefer smaller index: suppress if any neighbor has
-    # (same score, smaller index). Encode as score - tiny*idx and re-pool.
     eps = 1e-3 / (h * w)
     keyed = score - eps * ridx
     pooled_keyed = jax.lax.reduce_window(
         keyed, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME"
     )
-    is_max = is_max & (keyed >= pooled_keyed)
+    is_max = keyed >= pooled_keyed
     return jnp.where(is_max & (score > 0.0), score, 0.0)
 
 
