@@ -1,0 +1,97 @@
+"""CLI app shell (≙ src/srba-stereo-slam_main.cpp).
+
+Usage::
+
+    python -m srba_slam_tpu <config.ini> [--synthetic N] [--checkpoint path]
+                            [--resume path]
+
+Takes the reference's ``.ini`` config format unmodified (the demo configs
+load as-is). ``--synthetic N`` replaces the image source with an N-frame
+rendered sequence for dataset-free runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="srba_slam_tpu")
+    ap.add_argument("config", help=".ini configuration (reference format)")
+    ap.add_argument("--synthetic", type=int, default=0, metavar="N",
+                    help="use an N-frame synthetic rendered sequence")
+    ap.add_argument("--checkpoint", default="", help="save state here at the end")
+    ap.add_argument("--resume", default="", help="restore state before running")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from srba_slam_tpu.models.estimator import SRBAStereoSLAMEstimator
+    from srba_slam_tpu.utils.framesource import ImageDirSource, SyntheticSource
+
+    est = SRBAStereoSLAMEstimator.from_config(args.config)
+    est.initialize()
+    print(f"[srba_slam_tpu] backend: {jax.devices()[0].platform}", flush=True)
+
+    if args.resume:
+        from srba_slam_tpu.utils.checkpoint import load_state
+
+        load_state(est, args.resume)
+        print(f"[srba_slam_tpu] resumed from {args.resume} "
+              f"({est.store.n_kfs} KFs)")
+
+    if args.synthetic:
+        source = SyntheticSource(est.cam, n_frames=args.synthetic, step=0.5)
+    else:
+        try:
+            from srba_slam_tpu.native.loader import NativeImageDirSource
+
+            if NativeImageDirSource.available():
+                g = est.general
+                source = NativeImageDirSource(
+                    g.image_dir_url, g.left_format, g.right_format,
+                    g.start_index, g.end_index,
+                )
+            else:
+                raise RuntimeError
+        except Exception:
+            source = ImageDirSource.from_options(est.general)
+
+    t0 = time.time()
+    log = est.perform_stereo_slam(source)
+    dt = time.time() - t0
+    n = len(log)
+    print(f"[srba_slam_tpu] {n} frames, {est.store.n_kfs} keyframes, "
+          f"{n / max(dt, 1e-9):.2f} fps")
+
+    out_dir = est.general.out_dir or "out"
+    est.finalize(out_dir=out_dir)
+    print(f"[srba_slam_tpu] outputs written to {out_dir}/")
+    if est.general.enable_logger or True:
+        print(est.profiler.summary())
+
+    if args.checkpoint:
+        from srba_slam_tpu.utils.checkpoint import save_state
+
+        save_state(est, args.checkpoint)
+        print(f"[srba_slam_tpu] state saved to {args.checkpoint}")
+    return 0
+
+
+if __name__ == "__main__":
+    # top-level catch ≙ the reference's main() try/except
+    # (src/srba-stereo-slam_main.cpp:66-75)
+    try:
+        sys.exit(main())
+    except FileNotFoundError as e:
+        print(f"[srba_slam_tpu] error: {e}", file=sys.stderr)
+        sys.exit(1)
+    except KeyboardInterrupt:
+        print("[srba_slam_tpu] interrupted", file=sys.stderr)
+        sys.exit(130)

@@ -130,6 +130,12 @@ class SRBAStereoSLAMEstimator:
         self.kf_stats: list[TStatsSRBA] = []
         self.step_log: list[StepResult] = []
         self._da_key = jax.random.PRNGKey(7)
+        from srba_slam_tpu.utils.debug_dumps import DebugDumper
+
+        self.debug = DebugDumper(
+            os.path.join(self.general.out_dir or "out", "debug"),
+            enabled=self.general.debug,
+        )
         self._initialized = True
 
     # ----------------------------------------------------------------- loop
@@ -231,6 +237,7 @@ class SRBAStereoSLAMEstimator:
         obs = self._build_obs(frame, ids, first_kf=True)
         info = self.rba.define_new_keyframe(obs, run_opt=False)
         self.vo.set_frame_ids(ids, set(ids[ids >= 0]))
+        self.debug.dump_kf(kf_id, frame, ids)
         res.vo_valid = True
         res.inserted_kf = kf_id
         res.n_stereo_matches = vo.num_stereo_matches
@@ -266,6 +273,7 @@ class SRBAStereoSLAMEstimator:
 
         with self.profiler.section("performDA"):
             da = self._run_da(frame, similar)
+        self.debug.dump_da(self.store.n_kfs, similar, da)
         tracked = np.asarray(da.tracked_count)
         order = np.argsort(-tracked)  # ≙ DATrackedSorter ranking
         best = int(tracked[order[0]]) if len(order) else 0
@@ -304,6 +312,8 @@ class SRBAStereoSLAMEstimator:
             self.rba.loop_closure_detected(True)
             self.rba.set_lc_old_id(lc_confirmed)
             res.loop_closure_with = lc_confirmed
+            self.debug.dump_loop_closure(self.store.n_kfs, lc_confirmed,
+                                         int(tracked[order[0]]))
         if self.opts.use_initial_pose:
             self.rba.set_initial_kf_pose(self.incr_from_last_kf)
         with self.profiler.section("define_kf"):
@@ -311,6 +321,7 @@ class SRBAStereoSLAMEstimator:
         kf_id = info.kf_id
         new_global = self.rba.kf_global[kf_id].copy()
         self.store.append(frame, ids, new_global)
+        self.debug.dump_kf(kf_id, frame, ids)
         self.bow.insert(frame.desc_l, frame.m_valid)
         self.vo.set_frame_ids(ids, set(int(i) for i in ids if i >= 0))
         # restore thresholds + reset accumulators (≙ .cpp:662-663, 922-923)
@@ -459,6 +470,17 @@ class SRBAStereoSLAMEstimator:
             self.save_kf_stats(os.path.join(out_dir, "time_new_kf.txt"))
             self.profiler.save_csv(os.path.join(out_dir, "profiler.csv"))
             self.rba.save_graph_as_dot(os.path.join(out_dir, "final_graph.dot"))
+            # map + trajectory point cloud (≙ final_global_path.3DScene)
+            from srba_slam_tpu.utils.debug_dumps import export_scene_ply
+
+            lms = [
+                se3_np.transform_point(self.rba.kf_global[b], p)
+                for b, p in zip(self.rba.lm_base, self.rba.lm_pos)
+            ]
+            export_scene_ply(
+                os.path.join(out_dir, "final_global_path.ply"),
+                self.final_poses, np.asarray(lms) if lms else None,
+            )
         return self.final_poses
 
     def save_trajectory(self, path: str):

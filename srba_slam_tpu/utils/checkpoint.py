@@ -1,0 +1,158 @@
+"""Checkpoint / resume of the full SLAM state.
+
+The reference *designed* binary save/load-state (options/keypoints/
+descriptors/matches serializers are live code at
+src/CSRBAStereoSLAMEstimator.cpp:2411-2616) but the orchestrating
+``m_save_state``/``m_load_state`` are compiled out with ``#if 0``
+(:2264-2407, :2618-2727). Here it is a first-class working feature: the whole
+estimator state — keyframe store, SRBA graph (edges, landmarks,
+observations), BoW database, VO thresholds/IDs, pose bookkeeping — is one
+pytree of numpy arrays + a scalar dict, saved as a single ``.npz``.
+
+Unlike the reference's load path (which replays ``define_new_keyframe`` per
+stored KF to rebuild the map, :2349-2389), restore here is direct: arrays in,
+no replay.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+FORMAT_VERSION = 1
+
+
+def save_state(est, path: str):
+    """Serialize a SRBAStereoSLAMEstimator to ``path`` (.npz)."""
+    store = est.store
+    rba = est.rba
+    arrays = {f"kf_{name}": np.asarray(arr)
+              for name, arr in zip(store.arrays._fields, store.arrays)}
+    scalars = {
+        "format_version": FORMAT_VERSION,
+        "n_kfs": store.n_kfs,
+        "next_match_id": est.next_match_id,
+        "frame_idx": est.frame_idx,
+        "fast_th": est.vo.fast_th,
+        "orb_th": est.vo.orb_th,
+        "vo_next_id": est.vo._next_id,
+        "updated_translation_th": est.updated_translation_th,
+        "updated_rotation_th": est.updated_rotation_th,
+        "bow_n_kfs": est.bow.n_kfs,
+        "voc_n_words": est.bow.voc.n_words,
+        "voc_k": est.bow.voc.k,
+        "voc_L": est.bow.voc.L,
+        "rba_n_kfs": rba.n_kfs,
+        "lm_id_keys": list(map(int, rba.lm_id2idx.keys())),
+        "lm_id_vals": list(map(int, rba.lm_id2idx.values())),
+        "localmap_center_keys": list(map(int, rba.localmap_center.keys())),
+        "localmap_center_vals": list(map(int, rba.localmap_center.values())),
+    }
+    np.savez_compressed(
+        path,
+        __scalars__=json.dumps(scalars),
+        **arrays,
+        kf_match_ids=store.match_ids,
+        kf_poses=store.poses,
+        rba_edge_u=np.asarray(rba.edge_u, np.int32),
+        rba_edge_v=np.asarray(rba.edge_v, np.int32),
+        rba_edge_pose=(
+            np.asarray(rba.edge_pose).reshape(-1, 6)
+            if rba.edge_pose else np.zeros((0, 6))
+        ),
+        rba_kf_global=rba.kf_global,
+        rba_lm_base=np.asarray(rba.lm_base, np.int32),
+        rba_lm_pos=(
+            np.asarray(rba.lm_pos).reshape(-1, 3)
+            if rba.lm_pos else np.zeros((0, 3))
+        ),
+        rba_obs_kf=np.asarray(rba.obs_kf, np.int32),
+        rba_obs_lm=np.asarray(rba.obs_lm, np.int32),
+        rba_obs_px=(
+            np.asarray(rba.obs_px).reshape(-1, 3)
+            if rba.obs_px else np.zeros((0, 3))
+        ),
+        bow_db=np.asarray(est.bow._db, np.float32),
+        voc_leaf_bits=est.bow.voc.leaf_bits,
+        voc_weights=est.bow.voc.weights,
+        current_pose=est.current_pose,
+        last_kf_pose=est.last_kf_pose,
+        incr_from_last_kf=est.incr_from_last_kf,
+        incr_from_last_check=est.incr_from_last_check,
+    )
+
+
+def load_state(est, path: str):
+    """Restore state saved by :func:`save_state` into an initialize()'d
+    estimator (must have the same capacities and vocabulary)."""
+    data = np.load(path, allow_pickle=False)
+    scalars = json.loads(str(data["__scalars__"]))
+    assert scalars["format_version"] == FORMAT_VERSION
+
+    store = est.store
+    from srba_slam_tpu.models.keyframe import KFArrays
+
+    store.arrays = KFArrays(
+        *(jnp.asarray(data[f"kf_{name}"]) for name in KFArrays._fields)
+    )
+    store.match_ids = data["kf_match_ids"].copy()
+    store.poses = data["kf_poses"].copy()
+    store.n_kfs = scalars["n_kfs"]
+
+    rba = est.rba
+    rba.n_kfs = scalars["rba_n_kfs"]
+    rba.edge_u = data["rba_edge_u"].tolist()
+    rba.edge_v = data["rba_edge_v"].tolist()
+    rba.edge_pose = [p for p in data["rba_edge_pose"]]
+    rba.adj = {}
+    for e, (u, v) in enumerate(zip(rba.edge_u, rba.edge_v)):
+        rba.adj.setdefault(u, []).append((v, e))
+        rba.adj.setdefault(v, []).append((u, e))
+    rba.kf_global = data["rba_kf_global"].copy()
+    rba.lm_base = data["rba_lm_base"].tolist()
+    rba.lm_pos = [p for p in data["rba_lm_pos"]]
+    rba.obs_kf = data["rba_obs_kf"].tolist()
+    rba.obs_lm = data["rba_obs_lm"].tolist()
+    rba.obs_px = [p for p in data["rba_obs_px"]]
+    rba.lm_id2idx = dict(zip(scalars["lm_id_keys"], scalars["lm_id_vals"]))
+    rba.localmap_center = dict(
+        zip(scalars["localmap_center_keys"], scalars["localmap_center_vals"])
+    )
+    rba.kf_obs = {}
+    for o, k in enumerate(rba.obs_kf):
+        rba.kf_obs.setdefault(int(k), []).append(int(rba.obs_lm[o]))
+
+    # rebuild the BoW database (the estimator may not have a vocabulary yet —
+    # e.g. the train-on-first-frame path hasn't run in this process)
+    from srba_slam_tpu.models.bow import BoWDatabase, Vocabulary
+
+    voc = Vocabulary(
+        leaf_bits=data["voc_leaf_bits"].copy(),
+        weights=data["voc_weights"].copy(),
+        n_words=scalars["voc_n_words"],
+        k=scalars["voc_k"], L=scalars["voc_L"],
+    )
+    est.bow = BoWDatabase(voc, max_kfs=est.max_kfs)
+    est._pending_voc_training = False
+    est.bow._db = jnp.asarray(data["bow_db"])
+    est.bow.n_kfs = scalars["bow_n_kfs"]
+
+    est.next_match_id = scalars["next_match_id"]
+    est.frame_idx = scalars["frame_idx"]
+    est.vo.fast_th = scalars["fast_th"]
+    est.vo.orb_th = scalars["orb_th"]
+    est.vo._next_id = scalars["vo_next_id"]
+    est.updated_translation_th = scalars["updated_translation_th"]
+    est.updated_rotation_th = scalars["updated_rotation_th"]
+    est.current_pose = data["current_pose"].copy()
+    est.last_kf_pose = data["last_kf_pose"].copy()
+    est.incr_from_last_kf = data["incr_from_last_kf"].copy()
+    est.incr_from_last_check = data["incr_from_last_check"].copy()
+    # VO inter-frame tracking state restarts cleanly on the next frame; the
+    # KF ID set is rebuilt from the last stored keyframe
+    last_ids = store.match_ids[store.n_kfs - 1] if store.n_kfs else []
+    est.vo._kf_id_set = set(int(i) for i in last_ids if i >= 0)
