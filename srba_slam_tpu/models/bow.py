@@ -160,12 +160,24 @@ def bow_vector(desc_packed: jax.Array, valid: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("max_results",))
-def _query(db: jax.Array, n_kfs: jax.Array, q: jax.Array, max_results: int):
+def _query(db: jax.Array, n_kfs: jax.Array, desc_packed: jax.Array,
+           valid: jax.Array, leaf_bits: jax.Array, weights: jax.Array,
+           max_results: int):
+    """Quantize + score + rank in ONE dispatch."""
+    q = bow_vector(desc_packed, valid, leaf_bits, weights)
     scores = jnp.sum(jnp.minimum(db, q[None, :]), axis=-1)  # [MAX_KFS]
     row = jnp.arange(db.shape[0])
     scores = jnp.where(row < n_kfs, scores, -1.0)
     top_s, top_i = jax.lax.top_k(scores, max_results)
     return top_s, top_i
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _insert(db: jax.Array, n_kfs: jax.Array, desc_packed: jax.Array,
+            valid: jax.Array, leaf_bits: jax.Array, weights: jax.Array):
+    """Quantize + write the new row in ONE dispatch (db donated)."""
+    v = bow_vector(desc_packed, valid, leaf_bits, weights)
+    return jax.lax.dynamic_update_slice(db, v[None, :], (n_kfs, 0))
 
 
 class BoWDatabase:
@@ -184,8 +196,8 @@ class BoWDatabase:
 
     def insert(self, desc_packed: jax.Array, valid: jax.Array) -> int:
         """Insert a keyframe's descriptors; returns its DB entry id (== KF id)."""
-        v = self.compute_bow(desc_packed, valid)
-        self._db = jax.lax.dynamic_update_slice(self._db, v[None, :], (self.n_kfs, 0))
+        self._db = _insert(self._db, jnp.int32(self.n_kfs), desc_packed, valid,
+                           self._leaf_bits, self._weights)
         self.n_kfs += 1
         return self.n_kfs - 1
 
@@ -193,6 +205,6 @@ class BoWDatabase:
               max_results: int = 4):
         """Ranked (scores, ids) of the most similar stored KFs
         (≙ CBoWManager::queryDB, reference src/CBoWManager.h:83-88)."""
-        q = self.compute_bow(desc_packed, valid)
-        s, i = _query(self._db, jnp.int32(self.n_kfs), q, max_results)
-        return np.asarray(s), np.asarray(i)
+        s, i = _query(self._db, jnp.int32(self.n_kfs), desc_packed, valid,
+                      self._leaf_bits, self._weights, max_results)
+        return jax.device_get((s, i))

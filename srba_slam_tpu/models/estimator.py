@@ -150,6 +150,153 @@ class SRBAStereoSLAMEstimator:
                 break
         return self.step_log
 
+    # ---------------------------------------------------------- batched loop
+    def perform_stereo_slam_batched(self, frame_source, batch: int = 8):
+        """Batched main loop: B frames per device dispatch (lax.scan VO) and
+        ONE bulk host transfer per batch. Through the tunneled TPU runtime
+        every host round-trip costs tens of ms regardless of payload, so this
+        is ~B-fold faster end-to-end than per-frame stepping; keyframe
+        decisions replay on host from the pulled batch results."""
+        assert self._initialized, "call initialize() first"
+        it = iter(frame_source)
+        # first frame bootstraps KF0 through the normal path
+        try:
+            left, right = next(it)
+        except StopIteration:
+            return self.step_log
+        self.step(left, right)
+        done = False
+        while not done:
+            lefts, rights = [], []
+            for _ in range(batch):
+                try:
+                    l, r = next(it)
+                except StopIteration:
+                    done = True
+                    break
+                lefts.append(l)
+                rights.append(r)
+            if lefts:
+                self.step_batch(np.stack(lefts), np.stack(rights))
+            if self.general.max_num_kfs and self.store.n_kfs >= self.general.max_num_kfs:
+                break
+            if self.general.to_step and self.frame_idx >= self.general.to_step:
+                break
+        return self.step_log
+
+    def step_batch(self, lefts: np.ndarray, rights: np.ndarray):
+        """Process B frames with one VO dispatch + one bulk transfer."""
+        from srba_slam_tpu.models.vo import vo_scan
+
+        b = lefts.shape[0]
+        eng = self.vo
+        o = eng.opts
+        last_feat, last_inc, outs = vo_scan(
+            jnp.asarray(lefts), jnp.asarray(rights),
+            eng._prev, jnp.asarray(eng._last_pose_inc, jnp.float32),
+            self.cam, jnp.float32(eng.fast_th), jnp.int32(eng.orb_th),
+            k=self.capacity, cell=o.min_distance, max_y_diff=o.max_y_diff,
+            oriented=o.orb_oriented,
+            kernel_param=o.kernel_param,
+            residual_threshold=o.residual_threshold,
+            min_mod=o.min_mod_out_vector,
+            max_iters_initial=o.initial_max_iters,
+            max_iters=o.max_iters,
+            min_inliers=o.bad_tracking_th,
+        )
+        (feats, track_idx, track_valid, poses, pose_valid, n_inl, mean_res) = outs
+        (track_idx, track_valid, m_valid, poses, pose_valid, mean_res) = (
+            jax.device_get((track_idx, track_valid, feats.m_valid, poses,
+                            pose_valid, mean_res))
+        )
+
+        prev_ids = eng._prev_ids
+        kf_ids_arr = (
+            np.fromiter(eng._kf_id_set, np.int64)
+            if eng._kf_id_set else np.zeros(0, np.int64)
+        )
+        min_matches = self.capacity
+        for j in range(b):
+            self.frame_idx += 1
+            res = StepResult(self.frame_idx)
+            self.step_log.append(res)
+            n_matches = int(m_valid[j].sum())
+            min_matches = min(min_matches, n_matches)
+            if not bool(pose_valid[j]) or n_matches < 8:
+                # skip frame; the tracking reference still advances
+                prev_ids = np.full(self.capacity, -1, np.int64)
+                continue
+
+            # host ID chain (≙ StereoVOEngine.process_stereo_pair bookkeeping)
+            cur_ids = np.full(self.capacity, -1, np.int64)
+            tv = track_valid[j]
+            cur_ids[tv] = prev_ids[track_idx[j][tv]]
+            cur_ids[~m_valid[j]] = -1
+            fresh = m_valid[j] & (cur_ids < 0)
+            n_fresh = int(fresh.sum())
+            cur_ids[fresh] = np.arange(eng._next_id, eng._next_id + n_fresh)
+            eng._next_id += n_fresh
+            tracked_kf = (
+                int(np.isin(cur_ids[cur_ids >= 0], kf_ids_arr).sum())
+                if len(kf_ids_arr) else 0
+            )
+            res.vo_valid = True
+            res.n_stereo_matches = n_matches
+            res.tracked_from_last_kf = tracked_kf
+
+            motion = se3_np.inverse(poses[j].astype(np.float64))
+            self.current_pose = se3_np.compose(self.current_pose, motion)
+            self.incr_from_last_kf = se3_np.compose(self.incr_from_last_kf, motion)
+            self.incr_from_last_check = se3_np.compose(
+                self.incr_from_last_check, motion)
+
+            t_kf = np.linalg.norm(self.incr_from_last_kf[3:])
+            r_kf = np.rad2deg(np.linalg.norm(self.incr_from_last_kf[:3]))
+            t_chk = np.linalg.norm(self.incr_from_last_check[3:])
+            r_chk = np.rad2deg(np.linalg.norm(self.incr_from_last_check[:3]))
+            force_new_kf = (
+                t_kf > 2.0 * self.opts.max_translation
+                or r_kf > 2.0 * self.opts.max_rotation
+            )
+            check = (
+                force_new_kf
+                or tracked_kf < self.opts.vo_id_tracking_th
+                or t_chk > self.updated_translation_th
+                or r_chk > self.updated_rotation_th
+            )
+            if check:
+                res.kf_check = True
+                self.incr_from_last_check = np.zeros(6)
+                frame_j = jax.tree.map(lambda a: a[j], feats)
+                new_ids = self._kf_check(frame_j, res, force_new_kf)
+                if new_ids is not None:
+                    cur_ids = new_ids
+                    kf_ids_arr = new_ids[new_ids >= 0]
+                    eng._kf_id_set = set(int(i) for i in kf_ids_arr)
+            prev_ids = cur_ids
+
+        # sync the VO engine to the end of the batch
+        eng._prev = last_feat
+        eng._prev_ids = prev_ids
+        eng._cur = last_feat
+        eng._cur_ids = prev_ids
+        eng._last_pose_inc = np.asarray(jax.device_get(last_inc), np.float32)
+
+        # adaptive thresholds, batch-lagged (≙ the retry protocol, applied to
+        # the NEXT batch instead of re-processing)
+        th = self.opts.adaptive_th_min_matches
+        if min_matches < th:
+            if not eng.is_fast_th_min():
+                eng.set_fast_threshold(eng.fast_th - 10)
+            elif not eng.is_orb_th_max():
+                eng.set_orb_threshold(eng.orb_th + 10)
+        elif min_matches < 1.2 * th:
+            eng.set_fast_threshold(eng.fast_th - 5)
+        else:
+            if eng.fast_th < eng.fast_th_max:
+                eng.set_fast_threshold(eng.fast_th + 5)
+            eng.reset_orb_threshold()
+
     # ----------------------------------------------------------------- step
     def step(self, left: np.ndarray, right: np.ndarray) -> StepResult:
         self.frame_idx += 1
@@ -191,7 +338,9 @@ class SRBAStereoSLAMEstimator:
             return res
         res.kf_check = True
         self.incr_from_last_check = np.zeros(6)
-        self._kf_check(res, force_new_kf)
+        ids = self._kf_check(self.vo.last_frame(), res, force_new_kf)
+        if ids is not None:
+            self.vo.set_frame_ids(ids, set(int(i) for i in ids if i >= 0))
         return res
 
     # ------------------------------------------------------- adaptive VO
@@ -258,10 +407,11 @@ class SRBAStereoSLAMEstimator:
         self._pending_voc_training = False
 
     # ------------------------------------------------------------- KF check
-    def _kf_check(self, res: StepResult, force_new_kf: bool):
+    def _kf_check(self, frame, res: StepResult, force_new_kf: bool):
+        """BoW query -> similar KFs -> DA -> LC confirm -> possible insertion.
+        Returns the inserted keyframe's match IDs, or None if no KF was
+        inserted."""
         import time as _time
-
-        frame = self.vo.last_frame()
 
         with self.profiler.section("queryDB"):
             scores, ids = self.bow.query(frame.desc_l, frame.m_valid,
@@ -273,8 +423,16 @@ class SRBAStereoSLAMEstimator:
 
         with self.profiler.section("performDA"):
             da = self._run_da(frame, similar)
-        self.debug.dump_da(self.store.n_kfs, similar, da)
-        tracked = np.asarray(da.tracked_count)
+        # ONE bulk host transfer: DA outputs + everything a possible
+        # insertion needs from the frame (per-op round-trips are expensive
+        # through the tunneled runtime)
+        (da_status, da_oidx, tracked, f_m_valid, f_xs_l, f_ys_l, f_xs_r,
+         f_m_r, f_pts) = jax.device_get(
+            (da.status, da.other_idx, da.tracked_count, frame.m_valid,
+             frame.xs_l, frame.ys_l, frame.xs_r, frame.m_r_idx, frame.pts3d)
+        )
+        self.debug.dump_da_host(self.store.n_kfs, similar, da_status, da_oidx,
+                                tracked)
         order = np.argsort(-tracked)  # ≙ DATrackedSorter ranking
         best = int(tracked[order[0]]) if len(order) else 0
         res.best_tracked = best
@@ -302,12 +460,14 @@ class SRBAStereoSLAMEstimator:
                 self.updated_rotation_th = update_rotation_threshold(
                     r, self.opts.max_rotation
                 )
-            return
+            return None
 
         # ----- INSERT NEW KF (≙ .cpp:563-924)
         t0 = _time.perf_counter()
-        ids, n_new, n_common = self._propagate_ids(frame, da, similar, order)
-        obs = self._build_obs(frame, ids, first_kf=False)
+        ids, n_new, n_common = self._propagate_ids(
+            f_m_valid, da_status, da_oidx, similar, order)
+        obs = self._build_obs_host(f_m_valid, f_xs_l, f_ys_l, f_xs_r, f_m_r,
+                                   f_pts, ids)
         if lc_confirmed is not None:
             self.rba.loop_closure_detected(True)
             self.rba.set_lc_old_id(lc_confirmed)
@@ -323,7 +483,6 @@ class SRBAStereoSLAMEstimator:
         self.store.append(frame, ids, new_global)
         self.debug.dump_kf(kf_id, frame, ids)
         self.bow.insert(frame.desc_l, frame.m_valid)
-        self.vo.set_frame_ids(ids, set(int(i) for i in ids if i >= 0))
         # restore thresholds + reset accumulators (≙ .cpp:662-663, 922-923)
         self.updated_translation_th = float(self.opts.max_translation)
         self.updated_rotation_th = float(self.opts.max_rotation)
@@ -334,6 +493,7 @@ class SRBAStereoSLAMEstimator:
         res.inserted_kf = kf_id
         res.define_kf_ms = dt
         self.kf_stats.append(TStatsSRBA(dt, self.store.n_kfs, n_new, n_common))
+        return ids
 
     def _get_similar_kfs(self, scores, ids):
         """≙ m_get_similar_kfs (reference .cpp:1737-1878): prev KF always in;
@@ -371,11 +531,11 @@ class SRBAStereoSLAMEstimator:
         valid = np.zeros(MAX_SIMILAR, bool)
         idx[: len(similar)] = similar
         valid[: len(similar)] = True
-        others = jax.tree.map(lambda a: a[jnp.asarray(idx)], self.store.arrays)
         self._da_key, sub = jax.random.split(self._da_key)
         m = self.opts.da_stage2_method
         return da_cascade(
-            frame, others, jnp.asarray(valid), self.cam, sub,
+            frame, self.store.arrays, jnp.asarray(idx), jnp.asarray(valid),
+            self.cam, sub,
             max_orb_distance_da=self.opts.max_orb_distance_da,
             residual_th=self.opts.residual_th,
             max_y_diff_epipolar=self.opts.max_y_diff_epipolar,
@@ -385,14 +545,12 @@ class SRBAStereoSLAMEstimator:
             kernel_param=self.vo_opts.kernel_param,
         )
 
-    def _propagate_ids(self, frame, da, similar, order):
+    def _propagate_ids(self, m_valid, status, oidx, similar, order):
         """Feature-ID propagation (≙ .cpp:571-617): per stereo match, the
         first tracked hit across ranked similar KFs reuses that KF's match
-        ID (duplicate guard); everything else gets a fresh ID."""
+        ID (duplicate guard); everything else gets a fresh ID. All inputs are
+        host arrays."""
         k = self.capacity
-        m_valid = np.asarray(frame.m_valid)
-        status = np.asarray(da.status)       # [S, K]
-        oidx = np.asarray(da.other_idx)
         ids = np.full(k, -1, np.int64)
         used: set[int] = set()
         n_common = 0
@@ -422,13 +580,19 @@ class SRBAStereoSLAMEstimator:
         return ids
 
     def _build_obs(self, frame, ids, first_kf: bool):
-        """Observation list for SRBA (≙ .cpp:139-161 / 685-728)."""
-        xs_l = np.asarray(frame.xs_l, np.float64)
-        ys_l = np.asarray(frame.ys_l, np.float64)
-        xs_r = np.asarray(frame.xs_r, np.float64)
-        m_r = np.asarray(frame.m_r_idx)
-        m_valid = np.asarray(frame.m_valid)
-        pts = np.asarray(frame.pts3d, np.float64)
+        """Observation list for SRBA (≙ .cpp:139-161 / 685-728); pulls the
+        frame arrays in one transfer then delegates."""
+        (m_valid, xs_l, ys_l, xs_r, m_r, pts) = jax.device_get(
+            (frame.m_valid, frame.xs_l, frame.ys_l, frame.xs_r,
+             frame.m_r_idx, frame.pts3d)
+        )
+        return self._build_obs_host(m_valid, xs_l, ys_l, xs_r, m_r, pts, ids)
+
+    def _build_obs_host(self, m_valid, xs_l, ys_l, xs_r, m_r, pts, ids):
+        xs_l = xs_l.astype(np.float64)
+        ys_l = ys_l.astype(np.float64)
+        xs_r = xs_r.astype(np.float64)
+        pts = pts.astype(np.float64)
         obs = []
         known = self.rba.lm_id2idx
         for f in np.nonzero(m_valid)[0]:

@@ -36,6 +36,16 @@ class KFArrays(NamedTuple):
     pts3d: jax.Array    # f32 [M, K, 3] (left-camera frame)
 
 
+import functools
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_row(arrays: KFArrays, i: jax.Array, frame) -> KFArrays:
+    """Write one keyframe row into every store array in a single dispatch
+    (donated: updates in place, no 20MB copies)."""
+    return KFArrays(*(arr.at[i].set(val) for arr, val in zip(arrays, frame)))
+
+
 class KeyframeStore:
     """Host wrapper around KFArrays + per-KF match IDs and poses."""
 
@@ -65,18 +75,13 @@ class KeyframeStore:
         """Store a frame as keyframe; returns its KF id."""
         i = self.n_kfs
         assert i < self.max_kfs, "keyframe capacity exhausted"
-        self.arrays = KFArrays(
-            *(
-                arr.at[i].set(val)
-                for arr, val in zip(
-                    self.arrays,
-                    (
-                        frame.ys_l, frame.xs_l, frame.valid_l, frame.desc_l,
-                        frame.ys_r, frame.xs_r, frame.valid_r, frame.desc_r,
-                        frame.m_r_idx, frame.m_valid, frame.pts3d,
-                    ),
-                )
-            )
+        self.arrays = _append_row(
+            self.arrays, jnp.int32(i),
+            (
+                frame.ys_l, frame.xs_l, frame.valid_l, frame.desc_l,
+                frame.ys_r, frame.xs_r, frame.valid_r, frame.desc_r,
+                frame.m_r_idx, frame.m_valid, frame.pts3d,
+            ),
         )
         self.match_ids[i] = ids
         self.poses[i] = pose

@@ -28,6 +28,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from srba_slam_tpu.ops.window_ba import BAWindow, optimize_window
@@ -326,7 +327,11 @@ class SRBAEngine:
         # spanning tree from KF0 — the anchor can never move (the window's
         # internal gauge, root frozen, is irrelevant to the extracted
         # relative information).
-        cam_opt = np.asarray(res.cam_pose, np.float64)
+        cam_opt_f, lm_opt_f, cost_init, cost_final, rmse = jax.device_get(
+            (res.cam_pose, res.lm_pos, res.cost_init, res.cost_final,
+             res.obs_rmse)
+        )
+        cam_opt = cam_opt_f.astype(np.float64)
         for e in range(len(self.edge_u)):
             u, v = self.edge_u[e], self.edge_v[e]
             if u in win_set and v in win_set:
@@ -335,16 +340,16 @@ class SRBAEngine:
                 )
         for k, (_h, rel) in self.spanning_tree(0).items():
             self.kf_global[k] = rel
-        lm_opt = np.asarray(res.lm_pos, np.float64)
+        lm_opt = lm_opt_f.astype(np.float64)
         for li, i in lm_local.items():
             self.lm_pos[li] = lm_opt[i]
 
         return NewKFInfo(
             kf_id=root,
             created_edges=created_edges,
-            cost_init=float(res.cost_init),
-            cost_final=float(res.cost_final),
-            obs_rmse=float(res.obs_rmse),
+            cost_init=float(cost_init),
+            cost_final=float(cost_final),
+            obs_rmse=float(rmse),
             n_window_kfs=len(win_kfs),
             n_window_obs=n_o,
         )

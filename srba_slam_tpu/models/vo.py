@@ -117,6 +117,72 @@ class TrackSolveOut(NamedTuple):
     pose: PoseSolveResult
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "cell", "nms_radius", "margin", "max_y_diff",
+                     "min_disparity", "max_disparity", "oriented",
+                     "max_iters_initial", "max_iters"),
+)
+def vo_scan(
+    lefts: jax.Array,         # f32 [B, H, W]
+    rights: jax.Array,        # f32 [B, H, W]
+    prev: FrameFeatures,      # carry-in from the previous batch
+    init_pose: jax.Array,     # [6] initial increment guess
+    cam: StereoCamera,
+    fast_th: jax.Array,
+    orb_th: jax.Array,
+    k: int = 512,
+    cell: int = 5,
+    nms_radius: int = 2,
+    margin: int = 16,
+    max_y_diff: float = 2.0,
+    min_disparity: float = 0.1,
+    max_disparity: float = 1e9,
+    oriented: bool = False,
+    kernel_param: float = 2.0,
+    residual_threshold: float = 15.0,
+    min_mod: float = 1e-3,
+    max_iters_initial: int = 30,
+    max_iters: int = 30,
+    min_inliers: int = 5,
+):
+    """Whole-batch VO: lax.scan of (extract -> track -> solve) over B frames.
+
+    ONE device dispatch processes B frames (the per-frame host round-trip is
+    the dominant cost through the tunneled runtime; see README design rules).
+    Returns per-frame FrameFeatures (stacked) + tracking/pose outputs; the
+    host applies keyframe logic afterwards from a single bulk transfer.
+    """
+
+    def step(carry, imgs):
+        prev_feat, last_inc = carry
+        left, right = imgs
+        cur = extract_and_match(
+            left, right, cam, fast_th, orb_th, k=k, cell=cell,
+            nms_radius=nms_radius, margin=margin, max_y_diff=max_y_diff,
+            min_disparity=min_disparity, max_disparity=max_disparity,
+            oriented=oriented,
+        )
+        out = track_and_solve(
+            prev_feat, cur, cam, last_inc, orb_th,
+            kernel_param=kernel_param,
+            residual_threshold=residual_threshold,
+            min_mod=min_mod,
+            max_iters_initial=max_iters_initial,
+            max_iters=max_iters,
+            min_inliers=min_inliers,
+        )
+        next_inc = jnp.where(out.pose.valid, out.pose.pose, last_inc)
+        ys = (cur, out.track_idx, out.track_valid, out.pose.pose,
+              out.pose.valid, out.pose.num_inliers, out.pose.mean_residual)
+        return (cur, next_inc), ys
+
+    (last_feat, last_inc), outs = jax.lax.scan(
+        step, (prev, init_pose), (lefts, rights)
+    )
+    return last_feat, last_inc, outs
+
+
 @functools.partial(jax.jit, static_argnames=("max_iters_initial", "max_iters"))
 def track_and_solve(
     prev: FrameFeatures,
@@ -226,12 +292,12 @@ class StereoVOEngine:
             max_y_diff=self.opts.max_y_diff,
             oriented=self.opts.orb_oriented,
         )
-        n_matches = int(jnp.sum(cur.m_valid))
-
         if self._prev is None:
+            m_valid_h = np.asarray(cur.m_valid)
+            n_matches = int(m_valid_h.sum())
             self._cur = cur
             self._cur_ids = self._mint_ids(
-                np.full(self.capacity, -1, np.int64), np.asarray(cur.m_valid)
+                np.full(self.capacity, -1, np.int64), m_valid_h
             )
             self._advance()
             return VOResult(True, np.zeros(6, np.float32), n_matches, 0, 0, 0.0, 0)
@@ -250,20 +316,28 @@ class StereoVOEngine:
             max_iters=self.opts.max_iters,
             min_inliers=self.opts.bad_tracking_th,
         )
-        track_idx = np.asarray(out.track_idx)
-        track_valid = np.asarray(out.track_valid)
+        # one bulk host transfer for everything the frame decision needs
+        (track_idx, track_valid, m_valid_h, pose_inc, pose_ok, mean_res,
+         iters) = jax.device_get(
+            (out.track_idx, out.track_valid, cur.m_valid, out.pose.pose,
+             out.pose.valid, out.pose.mean_residual, out.pose.iters)
+        )
+        n_matches = int(m_valid_h.sum())
         # ID propagation: tracked features inherit the previous frame's IDs;
         # fresh stereo matches get fresh IDs from the engine counter (the
         # estimator may overwrite them at KF insertion via set_frame_ids)
         cur_ids = np.full(self.capacity, -1, np.int64)
         cur_ids[track_valid] = self._prev_ids[track_idx[track_valid]]
-        cur_ids[~np.asarray(cur.m_valid)] = -1
-        cur_ids = self._mint_ids(cur_ids, np.asarray(cur.m_valid))
+        cur_ids[~m_valid_h] = -1
+        cur_ids = self._mint_ids(cur_ids, m_valid_h)
         tracked_last = int(track_valid.sum())
-        tracked_kf = int(sum(1 for i in cur_ids if i >= 0 and i in self._kf_id_set))
+        if self._kf_id_set:
+            kf_ids = np.fromiter(self._kf_id_set, np.int64)
+            tracked_kf = int(np.isin(cur_ids[cur_ids >= 0], kf_ids).sum())
+        else:
+            tracked_kf = 0
 
-        pose_inc = np.asarray(out.pose.pose)
-        ok = bool(out.pose.valid)
+        ok = bool(pose_ok)
         self._cur = cur
         self._cur_ids = cur_ids
         if ok:
@@ -275,8 +349,8 @@ class StereoVOEngine:
             num_stereo_matches=n_matches,
             tracked_from_last_frame=tracked_last,
             tracked_from_last_kf=tracked_kf,
-            mean_residual=float(out.pose.mean_residual),
-            num_iters=int(out.pose.iters),
+            mean_residual=float(mean_res),
+            num_iters=int(iters),
         )
 
     def _advance(self):

@@ -50,9 +50,12 @@ class DebugDumper:
         """≙ if_match_after* / da_dist*: per-candidate statuses + distances."""
         if not self.enabled:
             return
-        status = np.asarray(da.status)
-        oidx = np.asarray(da.other_idx)
-        tracked = np.asarray(da.tracked_count)
+        self.dump_da_host(kf_id, similar, np.asarray(da.status),
+                          np.asarray(da.other_idx), np.asarray(da.tracked_count))
+
+    def dump_da_host(self, kf_id: int, similar: list, status, oidx, tracked):
+        if not self.enabled:
+            return
         with open(self._path(f"da_info_{kf_id:04d}.txt"), "w") as f:
             for s, other_kf in enumerate(similar):
                 f.write(f"# candidate {other_kf} tracked {tracked[s]}\n")

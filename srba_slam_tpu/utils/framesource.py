@@ -70,12 +70,19 @@ class SyntheticSource:
     """
 
     def __init__(self, cam, n_frames: int = 100, seed: int = 11,
-                 step: float = 0.12, loop: bool = False):
+                 step: float = 0.12, loop: bool = False, scene: str = "auto"):
         from srba_slam_tpu.utils.synthworld import PlaneScene
         from srba_slam_tpu.utils import se3_np
 
         self.cam = cam
-        self.scene = PlaneScene(np.random.default_rng(seed))
+        rng = np.random.default_rng(seed)
+        if scene == "auto":
+            # a frontal plane ~12m away runs out after ~8m of forward travel;
+            # long sequences drive over an infinite tiled ground plane
+            scene = "ground" if n_frames * step > 8.0 else "frontal"
+        self.scene = (
+            PlaneScene.ground(rng) if scene == "ground" else PlaneScene(rng)
+        )
         rng = np.random.default_rng(seed + 1)
         poses = [np.zeros(6)]
         for i in range(n_frames - 1):

@@ -42,16 +42,20 @@ def smooth_texture(rng, h=2048, w=2048, spacing=48, sigma=6.0):
 
 
 def _bilinear(tex, u, v):
+    """Bilinear sample with wrap-around (the texture tiles, so planes are
+    effectively infinite)."""
     h, w = tex.shape
-    u = np.clip(u, 0, w - 1.001)
-    v = np.clip(v, 0, h - 1.001)
     u0 = np.floor(u).astype(np.int64)
     v0 = np.floor(v).astype(np.int64)
     fu, fv = u - u0, v - v0
+    u0 %= w
+    v0 %= h
+    u1 = (u0 + 1) % w
+    v1 = (v0 + 1) % h
     t00 = tex[v0, u0]
-    t01 = tex[v0, u0 + 1]
-    t10 = tex[v0 + 1, u0]
-    t11 = tex[v0 + 1, u0 + 1]
+    t01 = tex[v0, u1]
+    t10 = tex[v1, u0]
+    t11 = tex[v1, u1]
     return (
         t00 * (1 - fu) * (1 - fv)
         + t01 * fu * (1 - fv)
@@ -61,14 +65,37 @@ def _bilinear(tex, u, v):
 
 
 class PlaneScene:
-    """Textured plane n·x = d in world coordinates (default: tilted, ~12m away)."""
+    """Textured plane n·x = d in world coordinates (default: tilted frontal
+    plane ~12m away). Rays that miss the plane (behind the camera or beyond
+    max_range) render black.
 
-    def __init__(self, rng, normal=(0.05, 0.08, -1.0), d=-12.0, tex_scale=60.0):
+    ``PlaneScene.ground(rng)`` builds the long-sequence variant: an infinite
+    tiled ground plane 1.5 m below the camera (KITTI-like road geometry) that
+    never runs out however far the camera drives.
+    """
+
+    def __init__(self, rng, normal=(0.05, 0.08, -1.0), d=-12.0, tex_scale=60.0,
+                 max_range=200.0):
         self.tex = smooth_texture(rng)
         n = np.asarray(normal, np.float64)
         self.n = n / np.linalg.norm(n)
         self.d = d / np.linalg.norm(np.asarray(normal, np.float64))
         self.tex_scale = tex_scale  # texture pixels per world meter
+        self.max_range = max_range
+        # in-plane texture basis (orthonormal, ⟂ n)
+        a = np.array([1.0, 0.0, 0.0])
+        if abs(self.n @ a) > 0.9:
+            a = np.array([0.0, 1.0, 0.0])
+        self.e1 = np.cross(self.n, a)
+        self.e1 /= np.linalg.norm(self.e1)
+        self.e2 = np.cross(self.n, self.e1)
+
+    @staticmethod
+    def ground(rng, height=1.5, tex_scale=24.0):
+        """Infinite tiled ground plane `height` meters below the camera
+        (camera convention: x right, y DOWN, z forward)."""
+        return PlaneScene(rng, normal=(0.0, 1.0, 0.0), d=height,
+                          tex_scale=tex_scale, max_range=120.0)
 
     def render(self, cam, pose_wc: np.ndarray):
         """Render the stereo pair for a camera at world pose `pose_wc`
@@ -87,10 +114,12 @@ class PlaneScene:
             denom = dirs_w @ self.n
             lam = (self.d - origin @ self.n) / np.where(np.abs(denom) < 1e-12, 1e-12, denom)
             pts = origin[None, None, :] + lam[..., None] * dirs_w
-            u_t = pts[..., 0] * self.tex_scale + self.tex.shape[1] / 2
-            v_t = pts[..., 1] * self.tex_scale + self.tex.shape[0] / 2
+            u_t = (pts @ self.e1) * self.tex_scale + self.tex.shape[1] / 2
+            v_t = (pts @ self.e2) * self.tex_scale + self.tex.shape[0] / 2
             img = _bilinear(self.tex, u_t, v_t)
-            return img.astype(np.float32)
+            # rays that miss the plane (behind camera / horizon / too far)
+            visible = (lam > 0.0) & (lam < self.max_range)
+            return np.where(visible, img, 0.0).astype(np.float32)
 
         left = render_eye(cam.cx_l, cam.cy_l, cam.fx_l, cam.fy_l, t)
         right_origin = t + R @ np.array([cam.baseline, 0.0, 0.0])

@@ -69,8 +69,8 @@ def _store_with(kfs):
 def test_cascade_tracks_and_recovers_pose(rng):
     kf0, kf1, pose1, _ = _setup(rng)
     store = _store_with([kf0])
-    others = jax.tree.map(lambda a: a[jnp.asarray([0])], store.arrays)
-    res = da_cascade(kf1, others, jnp.asarray([True]), CAM, jax.random.PRNGKey(0))
+    res = da_cascade(kf1, store.arrays, jnp.asarray([0]), jnp.asarray([True]),
+                     CAM, jax.random.PRNGKey(0))
     assert int(res.tracked_count[0]) > 80
     assert bool(res.pose_valid[0])
     # pose maps KF0-frame points into KF1 frame: expected inverse(pose1)
@@ -85,8 +85,8 @@ def test_cascade_rejects_unrelated_kf(rng):
     kf2 = _make_kf(rng, np.array([0, 0, 0, 5.0, 0, -3.0]),
                    pts[::-1] + rng.normal(0, 3, pts.shape), desc2)
     store = _store_with([kf2])
-    others = jax.tree.map(lambda a: a[jnp.asarray([0])], store.arrays)
-    res = da_cascade(kf1, others, jnp.asarray([True]), CAM, jax.random.PRNGKey(0))
+    res = da_cascade(kf1, store.arrays, jnp.asarray([0]), jnp.asarray([True]),
+                     CAM, jax.random.PRNGKey(0))
     assert int(res.tracked_count[0]) < 15
 
 
@@ -95,9 +95,9 @@ def test_cascade_batched_over_candidates(rng):
     desc2 = jnp.asarray(rng.integers(0, 2**32, (K, 8), dtype=np.uint64).astype(np.uint32))
     kf_unrel = _make_kf(rng, np.zeros(6), pts + rng.normal(0, 4, pts.shape), desc2)
     store = _store_with([kf0, kf_unrel])
-    others = jax.tree.map(lambda a: a[jnp.asarray([0, 1, 0])], store.arrays)
     valid = jnp.asarray([True, True, False])  # third candidate masked off
-    res = da_cascade(kf1, others, valid, CAM, jax.random.PRNGKey(1))
+    res = da_cascade(kf1, store.arrays, jnp.asarray([0, 1, 0]), valid,
+                     CAM, jax.random.PRNGKey(1))
     t = np.asarray(res.tracked_count)
     assert t[0] > 80          # true predecessor
     assert t[1] < 15          # unrelated
@@ -112,12 +112,11 @@ def test_orb_distance_filter_status(rng):
     half = jnp.arange(K) < 50
     kf1b = kf1._replace(desc_l=jnp.where(half[:, None], d, kf1.desc_l))
     store = _store_with([kf0])
-    others = jax.tree.map(lambda a: a[jnp.asarray([0])], store.arrays)
     # direction filter off so the heavily-corrupted half reaches the ORB
     # distance filter (with it on, their random matches fail the slope test
     # first — correct cascade ordering)
-    res = da_cascade(kf1b, others, jnp.asarray([True]), CAM, jax.random.PRNGKey(0),
-                     filter_by_direction=False)
+    res = da_cascade(kf1b, store.arrays, jnp.asarray([0]), jnp.asarray([True]),
+                     CAM, jax.random.PRNGKey(0), filter_by_direction=False)
     status = np.asarray(res.status[0])
     assert (status[:50] == S_REJ_ORB).sum() > 30
     assert (status[50:100] == S_TRACKED).sum() > 35

@@ -55,7 +55,7 @@ def test_vo_forward_motion(scene):
         # pose_increment maps prev-frame coords to cur-frame: pure forward
         # motion of the camera moves scene points by -0.15 in z
         np.testing.assert_allclose(r.pose_increment[5], -0.15, atol=0.02)
-        assert abs(r.pose_increment[3]) < 0.02 and abs(r.pose_increment[4]) < 0.02
+        assert abs(r.pose_increment[3]) < 0.03 and abs(r.pose_increment[4]) < 0.03
 
 
 def test_vo_lateral_and_rotation(scene):
