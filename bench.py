@@ -23,7 +23,7 @@ import numpy as np
 
 
 BASELINE_FPS = 15.0
-WARMUP_FRAMES = 12
+WARMUP_FRAMES = 11  # 1 bootstrap frame + one full batch (single scan compile)
 TIMED_FRAMES = 30
 REPEATS = 3  # the tunneled TPU pool has stochastic multi-second contention
              # stalls; report the best contiguous window as achievable perf

@@ -645,6 +645,14 @@ class SRBAStereoSLAMEstimator:
                 os.path.join(out_dir, "final_global_path.ply"),
                 self.final_poses, np.asarray(lms) if lms else None,
             )
+            if self.general.show3D:
+                # headless stand-in for the live 3D window (≙ show3D)
+                from srba_slam_tpu.utils.viz import render_map_png
+
+                render_map_png(
+                    os.path.join(out_dir, "final_global_path.png"),
+                    self.final_poses, np.asarray(lms) if lms else None,
+                )
         return self.final_poses
 
     def save_trajectory(self, path: str):
