@@ -31,7 +31,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from srba_slam_tpu.ops.window_ba import BAWindow, optimize_window
+from srba_slam_tpu.ops.window_ba import (BAWindow, optimize_window,
+    optimize_window_packed, pack_window)
 from srba_slam_tpu.utils import se3_np
 from srba_slam_tpu.utils.camera import StereoCamera
 
@@ -304,19 +305,10 @@ class SRBAEngine:
         opx[:n_o] = obs_px_arr[sel]
         ov[:n_o] = True
 
-        win = BAWindow(
-            cam_pose=jnp.asarray(cam_pose),
-            cam_valid=jnp.asarray(cam_valid),
-            lm_pos=jnp.asarray(lm_pos),
-            lm_base=jnp.asarray(lm_base_loc),
-            lm_valid=jnp.asarray(lm_valid),
-            obs_cam=jnp.asarray(oc),
-            obs_lm=jnp.asarray(ol),
-            obs_px=jnp.asarray(opx),
-            obs_valid=jnp.asarray(ov),
-        )
-        res = optimize_window(
-            win, self.cam,
+        ints, floats = pack_window(cam_pose, cam_valid, lm_pos, lm_base_loc,
+                                   lm_valid, oc, ol, opx, ov)
+        res = optimize_window_packed(
+            jnp.asarray(ints), jnp.asarray(floats), C, L, O, self.cam,
             kernel_param=p.kernel_param,
             max_iters=p.opt_iters,
             use_kernel=p.use_robust_kernel,

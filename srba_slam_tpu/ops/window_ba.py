@@ -46,6 +46,43 @@ class BAWindow(NamedTuple):
     obs_valid: jax.Array  # bool [O]
 
 
+def pack_window(cam_pose, cam_valid, lm_pos, lm_base, lm_valid,
+                obs_cam, obs_lm, obs_px, obs_valid):
+    """Host-side packing of a window into TWO arrays (one int32, one f32) so
+    building a window costs two uploads instead of nine (each host->device
+    operation is expensive through tunneled runtimes)."""
+    import numpy as np
+
+    ints = np.concatenate([
+        lm_base.astype(np.int32), obs_cam.astype(np.int32),
+        obs_lm.astype(np.int32), cam_valid.astype(np.int32),
+        lm_valid.astype(np.int32), obs_valid.astype(np.int32),
+    ])
+    floats = np.concatenate([
+        cam_pose.astype(np.float32).ravel(), lm_pos.astype(np.float32).ravel(),
+        obs_px.astype(np.float32).ravel(),
+    ])
+    return ints, floats
+
+
+def unpack_window(ints: jax.Array, floats: jax.Array, C: int, L: int, O: int
+                  ) -> BAWindow:
+    """Traced inverse of pack_window (static capacities -> static slices)."""
+    o = 0
+    lm_base = ints[o:o + L]; o += L
+    obs_cam = ints[o:o + O]; o += O
+    obs_lm = ints[o:o + O]; o += O
+    cam_valid = ints[o:o + C].astype(bool); o += C
+    lm_valid = ints[o:o + L].astype(bool); o += L
+    obs_valid = ints[o:o + O].astype(bool)
+    f = 0
+    cam_pose = floats[f:f + C * 6].reshape(C, 6); f += C * 6
+    lm_pos = floats[f:f + L * 3].reshape(L, 3); f += L * 3
+    obs_px = floats[f:f + O * 3].reshape(O, 3)
+    return BAWindow(cam_pose, cam_valid, lm_pos, lm_base, lm_valid,
+                    obs_cam, obs_lm, obs_px, obs_valid)
+
+
 class BAResult(NamedTuple):
     cam_pose: jax.Array   # optimized [C, 6]
     lm_pos: jax.Array     # optimized [L, 3]
@@ -126,6 +163,20 @@ def _robust_cost(r, w_valid, kernel_param, use_kernel):
     return jnp.sum(rho * w_valid)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("C", "L", "O", "max_iters", "use_kernel")
+)
+def optimize_window_packed(
+    ints: jax.Array, floats: jax.Array, C: int, L: int, O: int,
+    cam: StereoCamera, kernel_param: float = 1.5, max_iters: int = 12,
+    use_kernel: bool = True,
+) -> BAResult:
+    """optimize_window with the two-blob input layout (see pack_window)."""
+    win = unpack_window(ints, floats, C, L, O)
+    return _optimize_window_impl(win, cam, kernel_param, max_iters,
+                                 use_kernel, 1e-4)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iters", "use_kernel"))
 def optimize_window(
     win: BAWindow,
@@ -134,6 +185,18 @@ def optimize_window(
     max_iters: int = 12,
     use_kernel: bool = True,
     init_lambda: float = 1e-4,
+) -> BAResult:
+    return _optimize_window_impl(win, cam, kernel_param, max_iters,
+                                 use_kernel, init_lambda)
+
+
+def _optimize_window_impl(
+    win: BAWindow,
+    cam: StereoCamera,
+    kernel_param: float,
+    max_iters: int,
+    use_kernel: bool,
+    init_lambda: float,
 ) -> BAResult:
     C = win.cam_pose.shape[0]
     kernel_param = jnp.asarray(kernel_param, jnp.float32)
