@@ -61,6 +61,19 @@ def test_full_pipeline_runs(source, tmp_path):
     assert len(lines[0].split()) == 7
 
 
+def test_ate_rmse_metric(source):
+    # the BASELINE.json headline metric, computed with the in-repo tooling
+    from srba_slam_tpu.utils.evaluation import ate_rmse
+
+    est = make_estimator()
+    log = est.perform_stereo_slam(source)
+    poses = est.finalize()
+    # associate each KF with the GT pose of the frame it was inserted at
+    kf_frames = [r.frame_idx for r in log if r.inserted_kf is not None]
+    gt = source.gt_poses[kf_frames][:, 3:]
+    assert ate_rmse(poses[:, 3:], gt, align=True) < 0.06
+
+
 def test_trajectory_accuracy(source, tmp_path):
     est = make_estimator()
     est.perform_stereo_slam(source)
