@@ -73,7 +73,7 @@ def main(argv=None):
     out_dir = est.general.out_dir or "out"
     est.finalize(out_dir=out_dir)
     print(f"[srba_slam_tpu] outputs written to {out_dir}/")
-    if est.general.enable_logger or True:
+    if est.general.enable_logger:
         print(est.profiler.summary())
 
     if args.checkpoint:

@@ -250,20 +250,7 @@ class SRBAStereoSLAMEstimator:
             self.incr_from_last_check = se3_np.compose(
                 self.incr_from_last_check, motion)
 
-            t_kf = np.linalg.norm(self.incr_from_last_kf[3:])
-            r_kf = np.rad2deg(np.linalg.norm(self.incr_from_last_kf[:3]))
-            t_chk = np.linalg.norm(self.incr_from_last_check[3:])
-            r_chk = np.rad2deg(np.linalg.norm(self.incr_from_last_check[:3]))
-            force_new_kf = (
-                t_kf > 2.0 * self.opts.max_translation
-                or r_kf > 2.0 * self.opts.max_rotation
-            )
-            check = (
-                force_new_kf
-                or tracked_kf < self.opts.vo_id_tracking_th
-                or t_chk > self.updated_translation_th
-                or r_chk > self.updated_rotation_th
-            )
+            force_new_kf, check = self._kf_triggers(tracked_kf)
             if check:
                 res.kf_check = True
                 self.incr_from_last_check = np.zeros(6)
@@ -321,7 +308,21 @@ class SRBAStereoSLAMEstimator:
         self.incr_from_last_kf = se3_np.compose(self.incr_from_last_kf, motion)
         self.incr_from_last_check = se3_np.compose(self.incr_from_last_check, motion)
 
-        # KF-check triggers (≙ .cpp:366-394)
+        force_new_kf, check = self._kf_triggers(vo.tracked_from_last_kf)
+        if not check:
+            return res
+        res.kf_check = True
+        self.incr_from_last_check = np.zeros(6)
+        ids = self._kf_check(self.vo.last_frame(), res, force_new_kf)
+        if ids is not None:
+            self.vo.set_frame_ids(ids, set(int(i) for i in ids if i >= 0))
+        return res
+
+    def _kf_triggers(self, tracked_from_last_kf: int) -> tuple[bool, bool]:
+        """KF-check triggers (≙ reference .cpp:366-394): hard force limit at
+        2x the configured translation/rotation, tracking-count trigger, and
+        the dynamic since-last-check distance trigger. Returns
+        (force_new_kf, check)."""
         t_kf = np.linalg.norm(self.incr_from_last_kf[3:])
         r_kf = np.rad2deg(np.linalg.norm(self.incr_from_last_kf[:3]))
         t_chk = np.linalg.norm(self.incr_from_last_check[3:])
@@ -330,18 +331,13 @@ class SRBAStereoSLAMEstimator:
             t_kf > 2.0 * self.opts.max_translation
             or r_kf > 2.0 * self.opts.max_rotation
         )
-        check_tracking = vo.tracked_from_last_kf < self.opts.vo_id_tracking_th
-        check_distance = (
-            t_chk > self.updated_translation_th or r_chk > self.updated_rotation_th
+        check = (
+            force_new_kf
+            or tracked_from_last_kf < self.opts.vo_id_tracking_th
+            or t_chk > self.updated_translation_th
+            or r_chk > self.updated_rotation_th
         )
-        if not (force_new_kf or check_tracking or check_distance):
-            return res
-        res.kf_check = True
-        self.incr_from_last_check = np.zeros(6)
-        ids = self._kf_check(self.vo.last_frame(), res, force_new_kf)
-        if ids is not None:
-            self.vo.set_frame_ids(ids, set(int(i) for i in ids if i >= 0))
-        return res
+        return force_new_kf, check
 
     # ------------------------------------------------------- adaptive VO
     def _vo_with_adaptive_retry(self, left, right, res: StepResult):
@@ -637,9 +633,12 @@ class SRBAStereoSLAMEstimator:
             # map + trajectory point cloud (≙ final_global_path.3DScene)
             from srba_slam_tpu.utils.debug_dumps import export_scene_ply
 
+            # landmarks composed with the OPTIMIZED base-KF poses so map and
+            # trajectory share the post-epilogue frame
             lms = [
-                se3_np.transform_point(self.rba.kf_global[b], p)
+                se3_np.transform_point(self.final_poses[b], p)
                 for b, p in zip(self.rba.lm_base, self.rba.lm_pos)
+                if b < len(self.final_poses)
             ]
             export_scene_ply(
                 os.path.join(out_dir, "final_global_path.ply"),

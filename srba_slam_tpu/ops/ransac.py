@@ -62,13 +62,13 @@ def ransac_fundamental(
     nx1, ny1, T1 = _normalize_pts(x1, y1, w)
     nx2, ny2, T2 = _normalize_pts(x2, y2, w)
 
-    # sample valid indices: random keys, invalid pushed to the end, then each
-    # hypothesis takes a stride of 8 from a random permutation of the valid set
-    n_valid = jnp.sum(valid.astype(jnp.int32))
-    rand = jax.random.uniform(key, (k,))
-    order = jnp.argsort(jnp.where(valid, rand, 2.0))  # valid first, shuffled
-    pick = jax.random.randint(key, (n_hyp, 8), 0, jnp.maximum(n_valid, 1))
-    idx = order[pick]                                   # [NH, 8]
+    # sample 8 DISTINCT valid indices per hypothesis: an independent random
+    # key per correspondence per hypothesis, invalid pushed to the end, take
+    # the first 8 of each row's sort order (sampling with replacement makes
+    # the 8x9 system rank-deficient and the nullspace arbitrary)
+    r = jax.random.uniform(key, (n_hyp, k))
+    r = jnp.where(valid[None, :], r, 2.0)
+    idx = jnp.argsort(r, axis=1)[:, :8].astype(jnp.int32)  # [NH, 8]
 
     a_x1, a_y1 = nx1[idx], ny1[idx]
     a_x2, a_y2 = nx2[idx], ny2[idx]
