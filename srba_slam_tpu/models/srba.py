@@ -88,9 +88,14 @@ class SRBAEngine:
         self.lm_pos: list[np.ndarray] = []
         self.lm_id2idx: dict[int, int] = {}
         # observations
-        self.obs_kf: list[int] = []
-        self.obs_lm: list[int] = []
-        self.obs_px: list[np.ndarray] = []
+        # observation storage: preallocated growing arrays (appending to
+        # python lists and re-converting per insertion is O(total_obs) each
+        # time — quadratic over a run)
+        self._obs_cap = 4096
+        self.obs_kf = np.zeros(self._obs_cap, np.int32)
+        self.obs_lm = np.zeros(self._obs_cap, np.int32)
+        self.obs_px = np.zeros((self._obs_cap, 3), np.float64)
+        self.n_obs = 0
         # per-kf observed landmark indices (for votes / windows)
         self.kf_obs: dict[int, list[int]] = {}
         # loop-closure hooks (≙ srba-stereo-slam.h:85-97)
@@ -236,9 +241,15 @@ class SRBAEngine:
                     else np.array([0.0, 0.0, 10.0])
                 )
                 self.lm_pos.append(pos)
-            self.obs_kf.append(kf)
-            self.obs_lm.append(li)
-            self.obs_px.append(np.array([ul, vl, ur], np.float64))
+            if self.n_obs == self._obs_cap:
+                self._obs_cap *= 2
+                self.obs_kf = np.concatenate([self.obs_kf, np.zeros_like(self.obs_kf)])
+                self.obs_lm = np.concatenate([self.obs_lm, np.zeros_like(self.obs_lm)])
+                self.obs_px = np.concatenate([self.obs_px, np.zeros_like(self.obs_px)])
+            self.obs_kf[self.n_obs] = kf
+            self.obs_lm[self.n_obs] = li
+            self.obs_px[self.n_obs] = (ul, vl, ur)
+            self.n_obs += 1
             self.kf_obs[kf].append(li)
             obs_lm_indices.append(li)
 
@@ -257,8 +268,8 @@ class SRBAEngine:
         win_set = {k: i for i, k in enumerate(win_kfs)}  # root -> 0
         assert win_set[root] == 0
 
-        obs_kf = np.asarray(self.obs_kf)
-        obs_lm = np.asarray(self.obs_lm)
+        obs_kf = self.obs_kf[: self.n_obs]
+        obs_lm = self.obs_lm[: self.n_obs]
         in_win = np.isin(obs_kf, win_kfs)
         lm_base_arr = np.asarray(self.lm_base)
         base_in_win = np.isin(lm_base_arr[obs_lm], win_kfs)
@@ -280,7 +291,16 @@ class SRBAEngine:
                 f"win_obs={p.win_obs}) — loop-closure strength may suffer"
             )
 
-        C, L, O = p.win_cams, p.win_lms, p.win_obs
+        # bucket the static shapes: the common small window (a handful of
+        # KFs, a few hundred landmarks) runs a ~4x cheaper compiled program
+        # than loop-closure-sized windows; exactly two programs ever compile
+        buckets = [
+            (min(16, p.win_cams), min(2048, p.win_lms), min(4096, p.win_obs)),
+            (p.win_cams, p.win_lms, p.win_obs),
+        ]
+        for C, L, O in buckets:
+            if len(win_kfs) <= C and len(lms) <= L and len(sel) <= O:
+                break
         cam_pose = np.zeros((C, 6), np.float32)
         cam_valid = np.zeros(C, bool)
         root_global = self.kf_global[root]
@@ -299,10 +319,15 @@ class SRBAEngine:
         opx = np.zeros((O, 3), np.float32)
         ov = np.zeros(O, bool)
         n_o = len(sel)
-        obs_px_arr = np.asarray(self.obs_px)
-        oc[:n_o] = [win_set[k] for k in obs_kf[sel]]
-        ol[:n_o] = [lm_local[l] for l in obs_lm[sel]]
-        opx[:n_o] = obs_px_arr[sel]
+        win_map = np.full(self.n_kfs, -1, np.int32)
+        for k_, i_ in win_set.items():
+            win_map[k_] = i_
+        lm_map = np.full(len(self.lm_base), -1, np.int32)
+        for l_, i_ in lm_local.items():
+            lm_map[l_] = i_
+        oc[:n_o] = win_map[obs_kf[sel]]
+        ol[:n_o] = lm_map[obs_lm[sel]]
+        opx[:n_o] = self.obs_px[: self.n_obs][sel]
         ov[:n_o] = True
 
         ints, floats = pack_window(cam_pose, cam_valid, lm_pos, lm_base_loc,

@@ -70,12 +70,9 @@ def save_state(est, path: str):
             np.asarray(rba.lm_pos).reshape(-1, 3)
             if rba.lm_pos else np.zeros((0, 3))
         ),
-        rba_obs_kf=np.asarray(rba.obs_kf, np.int32),
-        rba_obs_lm=np.asarray(rba.obs_lm, np.int32),
-        rba_obs_px=(
-            np.asarray(rba.obs_px).reshape(-1, 3)
-            if rba.obs_px else np.zeros((0, 3))
-        ),
+        rba_obs_kf=rba.obs_kf[: rba.n_obs].astype(np.int32),
+        rba_obs_lm=rba.obs_lm[: rba.n_obs].astype(np.int32),
+        rba_obs_px=rba.obs_px[: rba.n_obs].reshape(-1, 3),
         bow_db=np.asarray(est.bow._db, np.float32),
         voc_leaf_bits=est.bow.voc.leaf_bits,
         voc_weights=est.bow.voc.weights,
@@ -115,15 +112,21 @@ def load_state(est, path: str):
     rba.kf_global = data["rba_kf_global"].copy()
     rba.lm_base = data["rba_lm_base"].tolist()
     rba.lm_pos = [p for p in data["rba_lm_pos"]]
-    rba.obs_kf = data["rba_obs_kf"].tolist()
-    rba.obs_lm = data["rba_obs_lm"].tolist()
-    rba.obs_px = [p for p in data["rba_obs_px"]]
+    n_obs = len(data["rba_obs_kf"])
+    rba._obs_cap = max(4096, 1 << max(n_obs - 1, 1).bit_length())
+    rba.obs_kf = np.zeros(rba._obs_cap, np.int32)
+    rba.obs_lm = np.zeros(rba._obs_cap, np.int32)
+    rba.obs_px = np.zeros((rba._obs_cap, 3), np.float64)
+    rba.obs_kf[:n_obs] = data["rba_obs_kf"]
+    rba.obs_lm[:n_obs] = data["rba_obs_lm"]
+    rba.obs_px[:n_obs] = data["rba_obs_px"]
+    rba.n_obs = n_obs
     rba.lm_id2idx = dict(zip(scalars["lm_id_keys"], scalars["lm_id_vals"]))
     rba.localmap_center = dict(
         zip(scalars["localmap_center_keys"], scalars["localmap_center_vals"])
     )
     rba.kf_obs = {}
-    for o, k in enumerate(rba.obs_kf):
+    for o, k in enumerate(rba.obs_kf[:n_obs]):
         rba.kf_obs.setdefault(int(k), []).append(int(rba.obs_lm[o]))
 
     # rebuild the BoW database (the estimator may not have a vocabulary yet —
