@@ -42,6 +42,13 @@ from srba_slam_tpu.utils.thresholds import (
 MAX_SIMILAR = 5  # prev KF + up to 4 BoW results (reference queries n=4)
 
 
+@jax.jit
+def _slice_frame(feats, j):
+    """Gather one frame's FrameFeatures row from a scanned batch in a single
+    dispatch (a host-side tree.map would issue one device op per field)."""
+    return jax.tree.map(lambda a: a[j], feats)
+
+
 @dataclass
 class StepResult:
     """What happened to one frame (for logging / tests)."""
@@ -205,9 +212,10 @@ class SRBAStereoSLAMEstimator:
             min_inliers=o.bad_tracking_th,
         )
         (feats, track_idx, track_valid, poses, pose_valid, n_inl, mean_res) = outs
-        (track_idx, track_valid, m_valid, poses, pose_valid, mean_res) = (
-            jax.device_get((track_idx, track_valid, feats.m_valid, poses,
-                            pose_valid, mean_res))
+        (track_idx, track_valid, m_valid, poses, pose_valid, mean_res,
+         last_inc_h) = jax.device_get(
+            (track_idx, track_valid, feats.m_valid, poses, pose_valid,
+             mean_res, last_inc)
         )
 
         prev_ids = eng._prev_ids
@@ -254,7 +262,7 @@ class SRBAStereoSLAMEstimator:
             if check:
                 res.kf_check = True
                 self.incr_from_last_check = np.zeros(6)
-                frame_j = jax.tree.map(lambda a: a[j], feats)
+                frame_j = _slice_frame(feats, jnp.int32(j))  # ONE dispatch
                 new_ids = self._kf_check(frame_j, res, force_new_kf)
                 if new_ids is not None:
                     cur_ids = new_ids
@@ -267,7 +275,7 @@ class SRBAStereoSLAMEstimator:
         eng._prev_ids = prev_ids
         eng._cur = last_feat
         eng._cur_ids = prev_ids
-        eng._last_pose_inc = np.asarray(jax.device_get(last_inc), np.float32)
+        eng._last_pose_inc = np.asarray(last_inc_h, np.float32)
 
         # adaptive thresholds, batch-lagged (≙ the retry protocol, applied to
         # the NEXT batch instead of re-processing)
