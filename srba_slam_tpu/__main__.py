@@ -25,6 +25,9 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default="", help="save state here at the end")
     ap.add_argument("--resume", default="", help="restore state before running")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--batch", type=int, default=0, metavar="B",
+                    help="frames per device dispatch (0 = auto: 8 on TPU, "
+                         "per-frame on CPU)")
     args = ap.parse_args(argv)
 
     import jax
@@ -63,8 +66,14 @@ def main(argv=None):
         except Exception:
             source = ImageDirSource.from_options(est.general)
 
+    batch = args.batch
+    if batch == 0:
+        batch = 8 if jax.devices()[0].platform != "cpu" else 1
     t0 = time.time()
-    log = est.perform_stereo_slam(source)
+    if batch > 1:
+        log = est.perform_stereo_slam_batched(source, batch=batch)
+    else:
+        log = est.perform_stereo_slam(source)
     dt = time.time() - t0
     n = len(log)
     print(f"[srba_slam_tpu] {n} frames, {est.store.n_kfs} keyframes, "
