@@ -90,6 +90,19 @@ class Vocabulary:
             w[word_id] = weights[node_id]
         return Vocabulary(bits, w, n_words, k, L)
 
+    # -- native (.npz) save/load ---------------------------------------------
+    def save(self, path: str):
+        """Save in the framework's own compact format."""
+        np.savez_compressed(path, leaf_bits=self.leaf_bits,
+                            weights=self.weights,
+                            meta=np.asarray([self.n_words, self.k, self.L]))
+
+    @staticmethod
+    def load(path: str) -> "Vocabulary":
+        d = np.load(path)
+        n_words, k, L = map(int, d["meta"])
+        return Vocabulary(d["leaf_bits"], d["weights"], n_words, k, L)
+
     # -- training from scratch ---------------------------------------------
     @staticmethod
     def train(descriptors: np.ndarray, k: int = 8, L: int = 5,
