@@ -204,6 +204,7 @@ class SRBAStereoSLAMEstimator:
             self.cam, jnp.float32(eng.fast_th), jnp.int32(eng.orb_th),
             k=self.capacity, cell=o.min_distance, max_y_diff=o.max_y_diff,
             oriented=o.orb_oriented,
+            n_levels=o.n_octaves,
             kernel_param=o.kernel_param,
             residual_threshold=o.residual_threshold,
             min_mod=o.min_mod_out_vector,

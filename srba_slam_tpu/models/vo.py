@@ -58,10 +58,16 @@ class FrameFeatures(NamedTuple):
     pts3d: jax.Array     # f32 [K, 3] triangulated in left camera frame
 
 
+def _avgpool2(img: jax.Array) -> jax.Array:
+    """2x decimation for the next pyramid octave."""
+    s = jax.lax.reduce_window(img, 0.0, jax.lax.add, (2, 2), (2, 2), "VALID")
+    return s * 0.25
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "cell", "nms_radius", "margin", "max_y_diff",
-                     "min_disparity", "max_disparity", "oriented"),
+                     "min_disparity", "max_disparity", "oriented", "n_levels"),
 )
 def extract_and_match(
     left: jax.Array,
@@ -77,20 +83,36 @@ def extract_and_match(
     min_disparity: float = 0.1,
     max_disparity: float = 1e9,
     oriented: bool = False,
+    n_levels: int = 1,
 ) -> FrameFeatures:
-    """Full frontend for one stereo pair; one compiled program."""
+    """Full frontend for one stereo pair; one compiled program.
+
+    ``n_levels`` > 1 detects/describes on a 2x image pyramid (≙ the
+    stereo-vo nOctaves option) — coordinates are reported at full resolution,
+    descriptors are sampled at the detecting octave's scale. The feature
+    budget splits evenly across octaves (remainder to octave 0).
+    """
     imgs = jnp.stack([left.astype(jnp.float32), right.astype(jnp.float32)])
+    k_lvl = k // n_levels
+    k0 = k - k_lvl * (n_levels - 1)
 
     def frontend(img):
-        s = fast_score_map(img, fast_th, margin=margin)
-        s = local_max_suppress(s, radius=nms_radius)
-        ys, xs, sc, valid = grid_topk(s, cell=cell, k=k)
-        # stage barrier: without it XLA re-fuses the whole detector into the
-        # descriptor gathers / matcher broadcasts and recomputes it per
-        # element (50 ms and 400 s compiles observed; ~2 ms with barriers)
-        ys, xs, sc, valid = jax.lax.optimization_barrier((ys, xs, sc, valid))
-        desc, _ = describe(img, ys, xs, valid, oriented=oriented)
-        return ys, xs, sc, valid, desc
+        per = []
+        cur_img = img
+        for lvl in range(n_levels):
+            kl = k0 if lvl == 0 else k_lvl
+            s = fast_score_map(cur_img, fast_th, margin=margin)
+            s = local_max_suppress(s, radius=nms_radius)
+            ys, xs, sc, valid = grid_topk(s, cell=cell, k=kl)
+            # stage barrier: without it XLA re-fuses the whole detector into
+            # the descriptor gathers / matcher broadcasts and recomputes it
+            # per element (50 ms and 400 s compiles observed; ~2 ms with)
+            ys, xs, sc, valid = jax.lax.optimization_barrier((ys, xs, sc, valid))
+            desc, _ = describe(cur_img, ys, xs, valid, oriented=oriented)
+            per.append((ys << lvl, xs << lvl, sc, valid, desc))
+            if lvl + 1 < n_levels:
+                cur_img = _avgpool2(cur_img)
+        return tuple(jnp.concatenate(parts) for parts in zip(*per))
 
     out = jax.vmap(frontend)(imgs)
     (ys, xs, sc, valid, desc) = jax.lax.optimization_barrier(out)
@@ -120,7 +142,7 @@ class TrackSolveOut(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "cell", "nms_radius", "margin", "max_y_diff",
-                     "min_disparity", "max_disparity", "oriented",
+                     "min_disparity", "max_disparity", "oriented", "n_levels",
                      "max_iters_initial", "max_iters"),
 )
 def vo_scan(
@@ -139,6 +161,7 @@ def vo_scan(
     min_disparity: float = 0.1,
     max_disparity: float = 1e9,
     oriented: bool = False,
+    n_levels: int = 1,
     kernel_param: float = 2.0,
     residual_threshold: float = 15.0,
     min_mod: float = 1e-3,
@@ -161,7 +184,7 @@ def vo_scan(
             left, right, cam, fast_th, orb_th, k=k, cell=cell,
             nms_radius=nms_radius, margin=margin, max_y_diff=max_y_diff,
             min_disparity=min_disparity, max_disparity=max_disparity,
-            oriented=oriented,
+            oriented=oriented, n_levels=n_levels,
         )
         out = track_and_solve(
             prev_feat, cur, cam, last_inc, orb_th,
@@ -291,6 +314,7 @@ class StereoVOEngine:
             k=self.capacity, cell=self.opts.min_distance,
             max_y_diff=self.opts.max_y_diff,
             oriented=self.opts.orb_oriented,
+            n_levels=self.opts.n_octaves,
         )
         if self._prev is None:
             m_valid_h = np.asarray(cur.m_valid)

@@ -90,3 +90,20 @@ def test_vo_trajectory_accumulation(scene):
     err = np.asarray(est) - gt[-1]
     assert np.linalg.norm(err[3:]) < 0.05, err
     assert np.linalg.norm(err[:3]) < 0.02, err
+
+
+def test_vo_multi_octave(scene):
+    cam = small_cam()
+    poses = [np.zeros(6, np.float32),
+             np.array([0, 0, 0, 0, 0, 0.12], np.float32)]
+    eng = StereoVOEngine(cam, VOOptions(fast_th=12, n_feats=256, n_octaves=2),
+                         capacity=256)
+    for p in poses:
+        left, right = scene.render(cam, p)
+        res = eng.process_stereo_pair(left, right)
+    assert res.valid and res.num_stereo_matches > 40
+    # octave-1 keypoints exist: coordinates with the level-1 parity pattern
+    frame = eng.last_frame()
+    ys = np.asarray(frame.ys_l)[np.asarray(frame.valid_l)]
+    assert len(ys) > 0
+    np.testing.assert_allclose(res.pose_increment[5], -0.12, atol=0.03)
