@@ -16,11 +16,16 @@ keypoints at once — no per-keypoint loop:
    uint32[K, 8] in the byte-LSB-first bit order shared with the reference
    (see srba_slam_tpu.ops.bits).
 
-The test-point pattern is a deterministic seeded Gaussian pattern (sigma =
-patch/5, classic BRIEF construction) constrained to the radius-15 disc so
-rotated samples never leave the patch. It is NOT OpenCV's learned table —
-descriptors are ORB-like, not bit-identical to OpenCV's (the framework trains
-or loads its own vocabulary; see srba_slam_tpu.models.bow).
+Two test-point patterns are available:
+
+* ``pattern="opencv"`` (default): OpenCV's learned ``bit_pattern_31_`` table
+  (shipped as orb_pattern_opencv.npy), with OpenCV's 7x7 sigma=2 Gaussian
+  pre-blur and integer rounding — upright descriptors are bit-compatible
+  with cv2.ORB's, so the reference demo vocabulary (trained on OpenCV ORB
+  output) quantizes them properly;
+* ``pattern="gaussian"``: a deterministic seeded BRIEF-style pattern
+  constrained to the radius-15 disc (useful when no OpenCV compatibility is
+  wanted).
 """
 
 from __future__ import annotations
@@ -52,22 +57,64 @@ def _make_pattern(seed: int = 7) -> np.ndarray:
 _PATTERN = _make_pattern()  # float64 [256, 2, 2] in (dy, dx)
 
 
+def _load_opencv_pattern() -> np.ndarray:
+    """OpenCV bit_pattern_31_ as [256, 2, 2] in (dy, dx) point order (p, q).
+    Table rows are (x1, y1, x2, y2)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "orb_pattern_opencv.npy")
+    t = np.load(path).astype(np.float64)  # [256, 4]
+    return np.stack(
+        [np.stack([t[:, 1], t[:, 0]], -1), np.stack([t[:, 3], t[:, 2]], -1)], 1
+    )  # [256, 2(point), 2(dy,dx)]
+
+
+_PATTERN_OPENCV = _load_opencv_pattern()
+
+# OpenCV ORB pre-smoothing: GaussianBlur(ksize=7, sigma=2), fixed-point on
+# uint8 images — reproduced as a separable conv + rounding
+_G7 = np.exp(-((np.arange(7) - 3.0) ** 2) / (2.0 * 2.0**2))
+_G7 = _G7 / _G7.sum()
+
+
 def _disc_offsets(radius: int) -> np.ndarray:
-    """Integer (dy, dx) offsets within the closed disc."""
-    ys, xs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
-    keep = ys * ys + xs * xs <= radius * radius
-    return np.stack([ys[keep], xs[keep]], axis=-1)
+    """Integer (dy, dx) offsets of OpenCV ORB's IC_Angle patch: |dx| bounded
+    per row by the umax Bresenham table (cv2 orb.cpp), so the intensity
+    centroid — and hence the steering angle — matches cv2's."""
+    # umax for HALF_PATCH_SIZE=15, including OpenCV's symmetry fix-up
+    umax = [15, 15, 15, 15, 14, 14, 14, 13, 13, 12, 11, 10, 9, 8, 6, 3]
+    offs = []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-umax[abs(dy)], umax[abs(dy)] + 1):
+            offs.append((dy, dx))
+    return np.asarray(offs, np.int32)
 
 
 _DISC = _disc_offsets(PATCH_RADIUS)  # [D, 2]
 
 
 def box_blur5(img: jax.Array) -> jax.Array:
-    """5x5 box filter (the smoothing ORB applies before binary tests)."""
+    """5x5 box filter (legacy-pattern smoothing)."""
     s = jax.lax.reduce_window(
         img.astype(jnp.float32), 0.0, jax.lax.add, (5, 5), (1, 1), "SAME"
     )
     return s / 25.0
+
+
+def gauss_blur7(img: jax.Array) -> jax.Array:
+    """Separable 7x7 sigma=2 Gaussian + rounding (cv2.ORB's pre-smoothing on
+    uint8 images, GaussianBlur(7,7,2,2) in fixed point)."""
+    k = jnp.asarray(_G7, jnp.float32)
+    x = img.astype(jnp.float32)
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, :, None], (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    x = jax.lax.conv_general_dilated(
+        x, k[None, None, None, :], (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return jnp.round(x[0, 0])
 
 
 def _gather(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
@@ -88,9 +135,10 @@ def orientations(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
     return jnp.arctan2(m01, m10)
 
 
-@functools.partial(jax.jit, static_argnames=("oriented",))
+@functools.partial(jax.jit, static_argnames=("oriented", "pattern"))
 def describe(img: jax.Array, ys: jax.Array, xs: jax.Array, valid: jax.Array,
-             oriented: bool = True):
+             oriented: bool = True, pattern: str = "opencv",
+             theta_override: jax.Array | None = None):
     """Compute 256-bit binary descriptors for K keypoints.
 
     Args:
@@ -103,18 +151,23 @@ def describe(img: jax.Array, ys: jax.Array, xs: jax.Array, valid: jax.Array,
         (False) are markedly more stable for stereo matching and
         frame-to-frame tracking — the intensity centroid is noisy on
         weak-gradient patches — and are what the VO frontend uses.
+      pattern: "opencv" (bit_pattern_31_ + Gaussian-7 blur, cv2-compatible
+        bits when upright) or "gaussian" (seeded in-disc pattern + box blur).
 
     Returns:
       (desc, theta): uint32[K, 8] packed descriptors, [K] orientations.
     """
     img = img.astype(jnp.float32)
-    blurred = box_blur5(img)
+    blurred = gauss_blur7(img) if pattern == "opencv" else box_blur5(img)
     theta = orientations(img, ys, xs)
-    if not oriented:
+    if theta_override is not None:
+        theta = theta_override
+    elif not oriented:
         theta = jnp.zeros_like(theta)
 
     c, s = jnp.cos(theta), jnp.sin(theta)  # [K]
-    pat = jnp.asarray(_PATTERN, jnp.float32)  # [256, 2, 2] (pair, point, (dy,dx))
+    pat_np = _PATTERN_OPENCV if pattern == "opencv" else _PATTERN
+    pat = jnp.asarray(pat_np, jnp.float32)  # [256, 2, 2] (pair, point, (dy,dx))
     pdy, pdx = pat[..., 0], pat[..., 1]  # [256, 2]
     # rotate each offset by theta_k: dy' = s*dx + c*dy? Using image coords
     # (y down, x right) rotate by theta about the keypoint:
