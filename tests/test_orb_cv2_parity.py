@@ -47,3 +47,20 @@ def test_oriented_descriptors_and_angles_match_cv2(rng):
     assert ang.max() < 0.05, ang.max()   # IC_Angle umax-disc parity
     d = _hamming_to_cv(ours, desc_cv)
     assert max(d) == 0, d
+
+
+def test_fast_corner_set_identical_to_cv2(rng):
+    img8 = rng.integers(0, 256, (120, 160), dtype=np.uint8)
+    from srba_slam_tpu.ops.fast import fast_score_map
+
+    for th in (15, 30):
+        det = cv2.FastFeatureDetector_create(
+            threshold=th, nonmaxSuppression=False,
+            type=cv2.FastFeatureDetector_TYPE_9_16)
+        cv_set = {(int(k.pt[1]), int(k.pt[0])) for k in det.detect(img8, None)}
+        s = np.asarray(fast_score_map(jnp.asarray(img8, jnp.float32),
+                                      float(th), margin=0))
+        ours = set(zip(*np.nonzero(s)))
+        interior = lambda pts: {(y, x) for (y, x) in pts
+                                if 3 <= y < 117 and 3 <= x < 157}
+        assert interior(ours) == interior(cv_set)
