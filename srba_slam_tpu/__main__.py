@@ -28,6 +28,9 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=0, metavar="B",
                     help="frames per device dispatch (0 = auto: 8 on TPU, "
                          "per-frame on CPU)")
+    ap.add_argument("--gt", default="", metavar="FILE",
+                    help="ground-truth trajectory (out_kf_poses.txt format "
+                         "or Nx3 xyz) to report ATE RMSE against")
     args = ap.parse_args(argv)
 
     import jax
@@ -80,8 +83,20 @@ def main(argv=None):
           f"{n / max(dt, 1e-9):.2f} fps")
 
     out_dir = est.general.out_dir or "out"
-    est.finalize(out_dir=out_dir)
+    poses = est.finalize(out_dir=out_dir)
     print(f"[srba_slam_tpu] outputs written to {out_dir}/")
+
+    if args.gt:
+        import numpy as np
+
+        from srba_slam_tpu.utils.evaluation import ate_rmse
+
+        gt = np.loadtxt(args.gt)
+        gt_xyz = gt[:, 1:4] if gt.shape[1] >= 7 else gt[:, :3]
+        n = min(len(gt_xyz), len(poses))
+        rmse = ate_rmse(poses[:n, 3:], gt_xyz[:n])
+        print(f"[srba_slam_tpu] ATE RMSE vs {args.gt}: {rmse:.4f} m "
+              f"({n} poses, SE(3)-aligned)")
     if est.general.enable_logger:
         print(est.profiler.summary())
 
