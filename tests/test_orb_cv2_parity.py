@@ -64,3 +64,44 @@ def test_fast_corner_set_identical_to_cv2(rng):
         interior = lambda pts: {(y, x) for (y, x) in pts
                                 if 3 <= y < 117 and 3 <= x < 157}
         assert interior(ours) == interior(cv_set)
+
+
+def test_ransac_inliers_agree_with_cv2(rng):
+    """Behavioral check of the batched fundamental-matrix RANSAC against
+    cv2.findFundamentalMat on the same correspondences."""
+    import jax
+
+    from srba_slam_tpu.ops.ransac import ransac_fundamental
+    from srba_slam_tpu.utils import se3_np
+    from srba_slam_tpu.utils.camera import StereoCamera
+
+    cam = StereoCamera.kitti()
+    n = 160
+    pts = np.stack([rng.uniform(-10, 10, n), rng.uniform(-3, 3, n),
+                    rng.uniform(6, 40, n)], -1)
+    pose = np.array([0.02, -0.05, 0.01, 0.4, 0.1, 1.5])
+    x1 = cam.cx_l + cam.fx_l * pts[:, 0] / pts[:, 2]
+    y1 = cam.cy_l + cam.fy_l * pts[:, 1] / pts[:, 2]
+    pc2 = np.stack([se3_np.transform_point(se3_np.inverse(pose), p) for p in pts])
+    x2 = cam.cx_l + cam.fx_l * pc2[:, 0] / pc2[:, 2]
+    y2 = cam.cy_l + cam.fy_l * pc2[:, 1] / pc2[:, 2]
+    out = rng.choice(n, n // 5, replace=False)
+    # shift perpendicular to the (near-horizontal) epipolar lines so the
+    # planted outliers genuinely violate the constraint
+    y2[out] += rng.uniform(25, 80, len(out)) * rng.choice([-1, 1], len(out))
+    is_out = np.zeros(n, bool); is_out[out] = True
+
+    inl, count, F = ransac_fundamental(
+        jnp.asarray(x1, jnp.float32), jnp.asarray(y1, jnp.float32),
+        jnp.asarray(x2, jnp.float32), jnp.asarray(y2, jnp.float32),
+        jnp.ones(n, bool), jax.random.PRNGKey(0), threshold=2.0)
+    ours = np.asarray(inl)
+
+    p1 = np.stack([x1, y1], -1).astype(np.float32)
+    p2 = np.stack([x2, y2], -1).astype(np.float32)
+    _, mask = cv2.findFundamentalMat(p1, p2, cv2.FM_RANSAC, 2.0, 0.99)
+    cv = mask.ravel().astype(bool)
+    # both reject the planted outliers and keep the vast majority of inliers
+    assert ours[is_out].mean() < 0.1 and cv[is_out].mean() < 0.1
+    agree = (ours == cv).mean()
+    assert agree > 0.9, agree
