@@ -91,12 +91,35 @@ def main(argv=None):
 
         from srba_slam_tpu.utils.evaluation import ate_rmse
 
-        gt = np.loadtxt(args.gt)
-        gt_xyz = gt[:, 1:4] if gt.shape[1] >= 7 else gt[:, :3]
-        n = min(len(gt_xyz), len(poses))
-        rmse = ate_rmse(poses[:n, 3:], gt_xyz[:n])
-        print(f"[srba_slam_tpu] ATE RMSE vs {args.gt}: {rmse:.4f} m "
-              f"({n} poses, SE(3)-aligned)")
+        gt = np.atleast_2d(np.loadtxt(args.gt))
+        if gt.shape[1] == 12:
+            # KITTI poses.txt: flattened 3x4 [R|t]; translation at 3, 7, 11
+            gt_xyz = gt[:, (3, 7, 11)]
+            per_frame = True
+        elif gt.shape[1] == 7:
+            # our out_kf_poses.txt: kf x y z yaw pitch roll (keyframe-indexed)
+            gt_xyz = gt[:, 1:4]
+            per_frame = False
+        else:
+            gt_xyz = gt[:, :3]
+            per_frame = True
+        if per_frame:
+            # associate each KEYFRAME with the ground-truth row of the frame
+            # it was inserted at
+            kf_frames = [r.frame_idx for r in log if r.inserted_kf is not None]
+            kf_frames = [f for f in kf_frames if f < len(gt_xyz)]
+            est_xyz = poses[: len(kf_frames), 3:]
+            gt_sel = gt_xyz[kf_frames]
+        else:
+            n = min(len(gt_xyz), len(poses))
+            est_xyz, gt_sel = poses[:n, 3:], gt_xyz[:n]
+        if len(est_xyz) >= 3:
+            rmse = ate_rmse(est_xyz, gt_sel)
+            print(f"[srba_slam_tpu] ATE RMSE vs {args.gt}: {rmse:.4f} m "
+                  f"({len(est_xyz)} keyframes, SE(3)-aligned)")
+        else:
+            print("[srba_slam_tpu] --gt: fewer than 3 associated poses; "
+                  "no ATE computed")
     if est.general.enable_logger:
         print(est.profiler.summary())
 

@@ -92,13 +92,19 @@ class Vocabulary:
 
     # -- native (.npz) save/load ---------------------------------------------
     def save(self, path: str):
-        """Save in the framework's own compact format."""
+        """Save in the framework's own compact format (.npz)."""
+        if not path.endswith(".npz"):
+            path += ".npz"  # savez appends it anyway; keep load symmetric
         np.savez_compressed(path, leaf_bits=self.leaf_bits,
                             weights=self.weights,
                             meta=np.asarray([self.n_words, self.k, self.L]))
 
     @staticmethod
     def load(path: str) -> "Vocabulary":
+        import os
+
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path += ".npz"
         d = np.load(path)
         n_words, k, L = map(int, d["meta"])
         return Vocabulary(d["leaf_bits"], d["weights"], n_words, k, L)

@@ -91,11 +91,12 @@ def _da_single(
     min_alive: int = 15,
 ):
     (oy_l, ox_l, _oval_l, odesc_l, _oy_r, oxr, _ovr, _odesc_r, om_ridx,
-     om_valid, opts3d) = oth_row
+     om_valid, opts3d, ooct) = oth_row
     k = cur.desc_l.shape[0]
 
     dist = hamming_matrix(cur.desc_l, odesc_l)  # f32
-    gate = cur.m_valid[:, None] & om_valid[None, :] & oth_valid_kf
+    gate = (cur.m_valid[:, None] & om_valid[None, :] & oth_valid_kf
+            & (cur.octave[:, None] == ooct[None, :]))
     d = jnp.where(gate, dist, _BIG)
     oidx = jnp.argmin(d, axis=1).astype(jnp.int32)
     bd = jnp.min(d, axis=1)

@@ -34,6 +34,7 @@ class KFArrays(NamedTuple):
     m_r_idx: jax.Array  # int32 [M, K]
     m_valid: jax.Array  # bool [M, K]
     pts3d: jax.Array    # f32 [M, K, 3] (left-camera frame)
+    octave: jax.Array   # int32 [M, K]
 
 
 import functools
@@ -65,6 +66,7 @@ class KeyframeStore:
             m_r_idx=jnp.zeros((max_kfs, k), jnp.int32),
             m_valid=jnp.zeros((max_kfs, k), bool),
             pts3d=jnp.zeros((max_kfs, k, 3), jnp.float32),
+            octave=jnp.zeros((max_kfs, k), jnp.int32),
         )
         self.match_ids = np.full((max_kfs, k), -1, np.int64)  # host
         self.poses = np.zeros((max_kfs, 6), np.float32)       # world poses, host
@@ -80,7 +82,7 @@ class KeyframeStore:
             (
                 frame.ys_l, frame.xs_l, frame.valid_l, frame.desc_l,
                 frame.ys_r, frame.xs_r, frame.valid_r, frame.desc_r,
-                frame.m_r_idx, frame.m_valid, frame.pts3d,
+                frame.m_r_idx, frame.m_valid, frame.pts3d, frame.octave,
             ),
         )
         self.match_ids[i] = ids

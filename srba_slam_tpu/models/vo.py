@@ -56,6 +56,7 @@ class FrameFeatures(NamedTuple):
     m_r_idx: jax.Array   # int32 [K] stereo match: left i -> right m_r_idx[i]
     m_valid: jax.Array   # bool [K]
     pts3d: jax.Array     # f32 [K, 3] triangulated in left camera frame
+    octave: jax.Array    # int32 [K] pyramid level the feature was detected at
 
 
 def _avgpool2(img: jax.Array) -> jax.Array:
@@ -93,14 +94,24 @@ def extract_and_match(
     budget splits evenly across octaves (remainder to octave 0).
     """
     imgs = jnp.stack([left.astype(jnp.float32), right.astype(jnp.float32)])
-    k_lvl = k // n_levels
-    k0 = k - k_lvl * (n_levels - 1)
+    # budget split across octaves, capped by each octave's grid-cell count
+    # (lax.top_k over fewer cells than k would fail at trace time); any
+    # deficit from capped deep octaves flows back to octave 0
+    h0, w0 = left.shape
+    cells = [((h0 >> lv) // cell) * ((w0 >> lv) // cell) for lv in range(n_levels)]
+    k_levels = [min(k // n_levels, cells[lv]) for lv in range(n_levels)]
+    k_levels[0] = k - sum(k_levels[1:])
+    if k_levels[0] > cells[0]:
+        raise ValueError(
+            f"feature capacity k={k} exceeds octave-0 grid cells {cells[0]} "
+            f"(image {h0}x{w0}, cell {cell})"
+        )
 
     def frontend(img):
         per = []
         cur_img = img
         for lvl in range(n_levels):
-            kl = k0 if lvl == 0 else k_lvl
+            kl = k_levels[lvl]
             s = fast_score_map(cur_img, fast_th, margin=margin)
             s = local_max_suppress(s, radius=nms_radius)
             ys, xs, sc, valid = grid_topk(s, cell=cell, k=kl)
@@ -109,17 +120,19 @@ def extract_and_match(
             # per element (50 ms and 400 s compiles observed; ~2 ms with)
             ys, xs, sc, valid = jax.lax.optimization_barrier((ys, xs, sc, valid))
             desc, _ = describe(cur_img, ys, xs, valid, oriented=oriented)
-            per.append((ys << lvl, xs << lvl, sc, valid, desc))
+            octv = jnp.full(kl, lvl, jnp.int32)
+            per.append((ys << lvl, xs << lvl, sc, valid, desc, octv))
             if lvl + 1 < n_levels:
                 cur_img = _avgpool2(cur_img)
         return tuple(jnp.concatenate(parts) for parts in zip(*per))
 
     out = jax.vmap(frontend)(imgs)
-    (ys, xs, sc, valid, desc) = jax.lax.optimization_barrier(out)
+    (ys, xs, sc, valid, desc, octv) = jax.lax.optimization_barrier(out)
     m = stereo_match(
         desc[0], desc[1], ys[0], xs[0], ys[1], xs[1], valid[0], valid[1],
         max_y_diff=max_y_diff, orb_max_distance=orb_th,
         min_disparity=min_disparity, max_disparity=max_disparity,
+        oct_l=octv[0], oct_r=octv[1],
     )
     xr = xs[1][m.idx].astype(jnp.float32)
     pts = project_match_to_3d(
@@ -129,7 +142,7 @@ def extract_and_match(
     return FrameFeatures(
         ys_l=ys[0], xs_l=xs[0], score_l=sc[0], valid_l=valid[0], desc_l=desc[0],
         ys_r=ys[1], xs_r=xs[1], valid_r=valid[1], desc_r=desc[1],
-        m_r_idx=m.idx, m_valid=m.valid, pts3d=pts,
+        m_r_idx=m.idx, m_valid=m.valid, pts3d=pts, octave=octv[0],
     )
 
 
@@ -223,7 +236,8 @@ def track_and_solve(
     """Track stereo-matched features into the current frame and solve the
     frame-to-frame pose increment (x_cur = T x_prev)."""
     m = interframe_match(cur.desc_l, prev.desc_l, cur.m_valid, prev.m_valid,
-                         orb_max_distance=orb_th)
+                         orb_max_distance=orb_th,
+                         oct_a=cur.octave, oct_b=prev.octave)
     pts_prev = prev.pts3d[m.idx]                       # [K, 3]
     ur = cur.xs_r[cur.m_r_idx].astype(jnp.float32)
     obs = jnp.stack(

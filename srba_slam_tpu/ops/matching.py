@@ -85,10 +85,13 @@ def stereo_match(
     orb_max_distance: int = 60,
     min_disparity: float = 0.0,
     max_disparity: float = 1e9,
+    oct_l: jax.Array | None = None,
+    oct_r: jax.Array | None = None,
 ) -> MatchResult:
     """Epipolar-gated left-right matching (≙ smDescRbR row-by-row matching;
     gates per demo/config_imgdir_kitti_srba.ini MATCH: max_y_diff=2,
-    orb_max_distance=60, rectified images)."""
+    orb_max_distance=60, rectified images). Features only match within the
+    same pyramid octave when octave arrays are given."""
     dist = hamming_matrix(desc_l, desc_r)  # [NL, NR]
     dy = jnp.abs(ys_l[:, None].astype(jnp.float32) - ys_r[None, :].astype(jnp.float32))
     disp = xs_l[:, None].astype(jnp.float32) - xs_r[None, :].astype(jnp.float32)
@@ -99,6 +102,8 @@ def stereo_match(
         & (disp > min_disparity)
         & (disp < max_disparity)
     )
+    if oct_l is not None:
+        gate = gate & (oct_l[:, None] == oct_r[None, :])
     return masked_best_match(dist, gate, orb_max_distance)
 
 
@@ -109,8 +114,13 @@ def interframe_match(
     valid_b: jax.Array,
     orb_max_distance: int = 60,
     unique: bool = True,
+    oct_a: jax.Array | None = None,
+    oct_b: jax.Array | None = None,
 ) -> MatchResult:
-    """Brute-force matching of feature set A against B (≙ ifmDescBF)."""
+    """Brute-force matching of feature set A against B (≙ ifmDescBF);
+    restricted to same-octave pairs when octave arrays are given."""
     dist = hamming_matrix(desc_a, desc_b)
     gate = valid_a[:, None] & valid_b[None, :]
+    if oct_a is not None:
+        gate = gate & (oct_a[:, None] == oct_b[None, :])
     return masked_best_match(dist, gate, orb_max_distance, unique=unique)

@@ -153,6 +153,9 @@ def describe(img: jax.Array, ys: jax.Array, xs: jax.Array, valid: jax.Array,
         weak-gradient patches — and are what the VO frontend uses.
       pattern: "opencv" (bit_pattern_31_ + Gaussian-7 blur, cv2-compatible
         bits when upright) or "gaussian" (seeded in-disc pattern + box blur).
+      theta_override: optional [K] angles (radians) to steer with instead of
+        the computed orientation — used by the cv2 parity tests and by
+        callers that precompute orientation externally.
 
     Returns:
       (desc, theta): uint32[K, 8] packed descriptors, [K] orientations.

@@ -87,4 +87,5 @@ def empty_features(batch: int, k: int) -> FrameFeatures:
         desc_r=jnp.zeros((batch, k, 8), jnp.uint32),
         m_r_idx=z_i, m_valid=z_b,
         pts3d=jnp.zeros((batch, k, 3), jnp.float32),
+        octave=z_i,
     )

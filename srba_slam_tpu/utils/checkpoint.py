@@ -23,7 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: octave arrays in FrameFeatures/KFArrays
 
 
 def save_state(est, path: str):

@@ -52,7 +52,11 @@ def compare_estimator_state(a, b) -> list[str]:
             diffs.append(f"store.{name} differs")
     if not np.array_equal(a.store.match_ids, b.store.match_ids):
         diffs.append("match_ids differ")
-    if not np.allclose(a.rba.kf_global, b.rba.kf_global):
+    if a.rba.kf_global.shape != b.rba.kf_global.shape:
+        diffs.append(
+            f"kf_global shape: {a.rba.kf_global.shape} != {b.rba.kf_global.shape}"
+        )
+    elif not np.allclose(a.rba.kf_global, b.rba.kf_global):
         diffs.append("kf_global differs")
     if a.rba.n_obs != b.rba.n_obs:
         diffs.append(f"n_obs: {a.rba.n_obs} != {b.rba.n_obs}")

@@ -45,6 +45,7 @@ def _make_kf(rng, pose_wc, pts_w, desc):
         m_r_idx=jnp.asarray(np.arange(K, dtype=np.int32)),
         m_valid=jnp.asarray(valid),
         pts3d=jnp.asarray(pad(pc.astype(np.float32))),
+        octave=jnp.zeros(K, jnp.int32),
     )
 
 
