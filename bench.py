@@ -63,28 +63,30 @@ def main():
         return est
 
     BATCH = 10
-    best_dt = float("inf")
+    dts = []
     for _rep in range(REPEATS):
         est = build()  # fresh SLAM state; jit caches persist across repeats
         est.perform_stereo_slam_batched(frames[:WARMUP_FRAMES], batch=BATCH)
+        est.rba.flush()
         jax.block_until_ready(est.vo.last_frame().desc_l)
         t0 = time.perf_counter()
-        for i in range(WARMUP_FRAMES, len(frames), BATCH):
-            chunk = frames[i:i + BATCH]
-            est.step_batch(
-                np.stack([c[0] for c in chunk]),
-                np.stack([c[1] for c in chunk]),
-            )
+        # pipelined batched loop (next batch's scan dispatch overlaps the
+        # current batch's keyframe logic)
+        est.perform_stereo_slam_batched(frames[WARMUP_FRAMES:], batch=BATCH)
+        est.rba.flush()
         jax.block_until_ready(est.vo.last_frame().desc_l)
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        dts.append(time.perf_counter() - t0)
 
+    best_dt = min(dts)
     fps = TIMED_FRAMES / best_dt
+    median_fps = TIMED_FRAMES / sorted(dts)[len(dts) // 2]
     backend = jax.devices()[0].platform
     print(json.dumps({
         "metric": f"kitti_synth_e2e_fps_per_chip[{backend}]",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "median_fps": round(median_fps, 2),
     }))
 
 

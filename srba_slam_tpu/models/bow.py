@@ -215,6 +215,11 @@ class BoWDatabase:
 
     def insert(self, desc_packed: jax.Array, valid: jax.Array) -> int:
         """Insert a keyframe's descriptors; returns its DB entry id (== KF id)."""
+        # dynamic_update_slice clamps out-of-range starts, which would silently
+        # overwrite the last row and break the entry-id == KF-id contract
+        assert self.n_kfs < self.max_kfs, (
+            f"BoW database full ({self.max_kfs} keyframes)"
+        )
         self._db = _insert(self._db, jnp.int32(self.n_kfs), desc_packed, valid,
                            self._leaf_bits, self._weights)
         self.n_kfs += 1

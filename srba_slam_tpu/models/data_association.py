@@ -38,9 +38,11 @@ from srba_slam_tpu.ops.ransac import ransac_fundamental
 from srba_slam_tpu.ops.robust_lm import solve_pose
 from srba_slam_tpu.utils.camera import StereoCamera
 
-# ≙ the status enum at reference src/CSRBAStereoSLAMEstimator.h:100-114
-S_NON_TRACKED = 0
-S_TRACKED = 1
+# ≙ the status enum at reference src/CSRBAStereoSLAMEstimator.h:102
+# (sTRACKED = 0, sNON_TRACKED, sREJ_SLOPE, ...) — same values, so debug
+# dumps are directly comparable
+S_TRACKED = 0
+S_NON_TRACKED = 1
 S_REJ_SLOPE = 2
 S_REJ_ORB = 3
 S_REJ_FUND_MATRIX = 4

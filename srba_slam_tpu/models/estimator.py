@@ -28,6 +28,7 @@ from srba_slam_tpu.config import (
     GeneralOptions, SRBAStereoSLAMOptions, VOOptions, load_config,
 )
 from srba_slam_tpu.models.bow import BoWDatabase, Vocabulary
+from srba_slam_tpu.models.data_association import S_TRACKED
 # (query_and_associate is imported lazily inside _kf_check)
 from srba_slam_tpu.models.keyframe import KeyframeStore
 from srba_slam_tpu.models.srba import SRBAEngine, SRBAParams
@@ -110,6 +111,8 @@ class SRBAStereoSLAMEstimator:
             BoWDatabase(vocabulary, max_kfs=self.max_kfs) if vocabulary else None
         )
         self.store = KeyframeStore(max_kfs=self.max_kfs, capacity=self.capacity)
+        from srba_slam_tpu.utils.stats import VerboseLogger
+
         self.rba = SRBAEngine(
             self.cam,
             SRBAParams(
@@ -122,6 +125,9 @@ class SRBAStereoSLAMEstimator:
                 std_noise_pixels=o.std_noise_pixels,
                 max_kfs=self.max_kfs,
             ),
+            logger=VerboseLogger(self.general.verbose_level),
+            on_commit=self._on_rba_commit,
+            lazy=True,
         )
         # pose state
         self.current_pose = np.zeros(6)
@@ -166,26 +172,49 @@ class SRBAStereoSLAMEstimator:
         decisions replay on host from the pulled batch results."""
         assert self._initialized, "call initialize() first"
         it = iter(frame_source)
-        # first frame bootstraps KF0 through the normal path
-        try:
-            left, right = next(it)
-        except StopIteration:
-            return self.step_log
-        self.step(left, right)
-        done = False
-        while not done:
+        if self.store.n_kfs == 0:
+            # first frame bootstraps KF0 through the normal path
+            try:
+                left, right = next(it)
+            except StopIteration:
+                return self.step_log
+            self.step(left, right)
+
+        def take():
             lefts, rights = [], []
             for _ in range(batch):
                 try:
                     l, r = next(it)
                 except StopIteration:
-                    done = True
                     break
                 lefts.append(l)
                 rights.append(r)
-            if lefts:
-                self.step_batch(np.stack(lefts), np.stack(rights))
-            if self.general.max_num_kfs and self.store.n_kfs >= self.general.max_num_kfs:
+            if not lefts:
+                return None
+            return np.stack(lefts), np.stack(rights)
+
+        # software pipeline: batch n+1's VO scan is DISPATCHED (async, free)
+        # before batch n's results are processed, so its device compute
+        # overlaps the host-side keyframe logic. The adaptive detector
+        # thresholds stay batch-lagged by exactly one batch: if processing
+        # batch n changes them, the speculative dispatch is discarded and
+        # re-issued with the new thresholds (chain inputs are device arrays
+        # held by the dispatch record, so the re-dispatch costs no transfer).
+        cur_chunk = take()
+        disp = self._dispatch_scan(*cur_chunk) if cur_chunk else None
+        while disp is not None:
+            nxt_chunk = take()
+            nxt = (
+                self._dispatch_scan(*nxt_chunk, chain=disp)
+                if nxt_chunk else None
+            )
+            th_before = (self.vo.fast_th, self.vo.orb_th)
+            self._process_scan(disp)
+            if nxt is not None and (self.vo.fast_th, self.vo.orb_th) != th_before:
+                nxt = self._dispatch_scan(*nxt_chunk, chain=disp)
+            disp = nxt
+            if self.general.max_num_kfs and \
+                    self.store.n_kfs >= self.general.max_num_kfs:
                 break
             if self.general.to_step and self.frame_idx >= self.general.to_step:
                 break
@@ -193,14 +222,25 @@ class SRBAStereoSLAMEstimator:
 
     def step_batch(self, lefts: np.ndarray, rights: np.ndarray):
         """Process B frames with one VO dispatch + one bulk transfer."""
+        self._process_scan(self._dispatch_scan(lefts, rights))
+
+    def _dispatch_scan(self, lefts: np.ndarray, rights: np.ndarray,
+                       chain: dict | None = None) -> dict:
+        """Dispatch one vo_scan batch (async). ``chain`` continues from an
+        earlier un-processed dispatch's device outputs (prefetch); otherwise
+        the scan chains from the engine's current state."""
         from srba_slam_tpu.models.vo import vo_scan
 
-        b = lefts.shape[0]
         eng = self.vo
         o = eng.opts
+        prev_feat = chain["last_feat"] if chain else eng._prev
+        prev_inc = (
+            chain["last_inc"] if chain
+            else jnp.asarray(eng._last_pose_inc, jnp.float32)
+        )
         last_feat, last_inc, outs = vo_scan(
             jnp.asarray(lefts), jnp.asarray(rights),
-            eng._prev, jnp.asarray(eng._last_pose_inc, jnp.float32),
+            prev_feat, prev_inc,
             self.cam, jnp.float32(eng.fast_th), jnp.int32(eng.orb_th),
             k=self.capacity, cell=o.min_distance, max_y_diff=o.max_y_diff,
             oriented=o.orb_oriented,
@@ -212,12 +252,27 @@ class SRBAStereoSLAMEstimator:
             max_iters=o.max_iters,
             min_inliers=o.bad_tracking_th,
         )
-        (feats, track_idx, track_valid, poses, pose_valid, n_inl, mean_res) = outs
-        (track_idx, track_valid, m_valid, poses, pose_valid, mean_res,
-         last_inc_h) = jax.device_get(
+        return dict(outs=outs, last_feat=last_feat, last_inc=last_inc,
+                    b=lefts.shape[0])
+
+    def _process_scan(self, disp: dict):
+        """Pull one dispatched batch and run the per-frame keyframe logic."""
+        b = disp["b"]
+        eng = self.vo
+        last_feat, last_inc = disp["last_feat"], disp["last_inc"]
+        (feats, track_idx, track_valid, poses, pose_valid, n_inl, mean_res) \
+            = disp["outs"]
+        # ONE bulk transfer for the batch; a pending SRBA window solve from
+        # the previous batch rides along and commits for free
+        pend = self.rba.pending_device_arrays()
+        pulled = jax.device_get(
             (track_idx, track_valid, feats.m_valid, poses, pose_valid,
-             mean_res, last_inc)
+             mean_res, last_inc) + pend
         )
+        (track_idx, track_valid, m_valid, poses, pose_valid, mean_res,
+         last_inc_h) = pulled[:7]
+        if pend:
+            self.rba.commit_pending(pulled[7:])
 
         prev_ids = eng._prev_ids
         kf_ids_arr = (
@@ -440,12 +495,16 @@ class SRBAStereoSLAMEstimator:
                 kernel_param=self.vo_opts.kernel_param,
             )
         with self.profiler.section("performDA"):
-            (scores, ids, da_status_all, da_oidx_all, tracked_all, f_m_valid,
-             f_xs_l, f_ys_l, f_xs_r, f_m_r, f_pts) = jax.device_get(
+            pend = self.rba.pending_device_arrays()
+            pulled = jax.device_get(
                 (top_s, top_i, da.status, da.other_idx, da.tracked_count,
                  frame.m_valid, frame.xs_l, frame.ys_l, frame.xs_r,
-                 frame.m_r_idx, frame.pts3d)
+                 frame.m_r_idx, frame.pts3d) + pend
             )
+            (scores, ids, da_status_all, da_oidx_all, tracked_all, f_m_valid,
+             f_xs_l, f_ys_l, f_xs_r, f_m_r, f_pts) = pulled[:11]
+            if pend:
+                self.rba.commit_pending(pulled[11:])
         with self.profiler.section("get_similar_kfs"):
             similar, lc_candidate = self._get_similar_kfs(scores, ids)
         if scores[0] < 0.05:
@@ -525,6 +584,17 @@ class SRBAStereoSLAMEstimator:
         self.kf_stats.append(TStatsSRBA(dt, self.store.n_kfs, n_new, n_common))
         return ids
 
+    def _on_rba_commit(self, kf_id: int, old_global: np.ndarray,
+                       new_global: np.ndarray):
+        """Re-anchor pose bookkeeping when a deferred window solve lands: the
+        newest KF's global pose moves from its VO seed to the optimized value,
+        and everything chained from it shifts by the same left correction."""
+        corr = se3_np.compose(new_global, se3_np.inverse(old_global))
+        self.current_pose = se3_np.compose(corr, self.current_pose)
+        self.last_kf_pose = new_global.copy()
+        if kf_id < self.store.n_kfs:
+            self.store.set_pose(kf_id, new_global)
+
     def _get_similar_kfs(self, scores, ids):
         """≙ m_get_similar_kfs (reference .cpp:1737-1878): prev KF always in;
         BoW results with score > 0.8*best; LC candidate = far-away (topo
@@ -560,23 +630,30 @@ class SRBAStereoSLAMEstimator:
         """Feature-ID propagation (≙ .cpp:571-617): per stereo match, the
         first tracked hit across ranked similar KFs reuses that KF's match
         ID (duplicate guard); everything else gets a fresh ID. All inputs are
-        host arrays."""
+        host arrays; per-rank work is vectorized (feature loops here used to
+        dominate insertion host time)."""
         k = self.capacity
         ids = np.full(k, -1, np.int64)
-        used: set[int] = set()
+        used = np.zeros(0, np.int64)
         n_common = 0
         for rank in order:
             if rank >= len(similar):
                 continue
             other_kf = similar[int(rank)]
             other_ids = self.store.match_ids[other_kf]
-            tracked = status[rank] == 1
-            for f in np.nonzero(tracked & m_valid & (ids < 0))[0]:
-                cand = int(other_ids[oidx[rank, f]])
-                if cand >= 0 and cand not in used:
-                    ids[f] = cand
-                    used.add(cand)
-                    n_common += 1
+            sel = np.nonzero((status[rank] == S_TRACKED) & m_valid & (ids < 0))[0]
+            if not len(sel):
+                continue
+            cand = other_ids[oidx[rank, sel]]
+            ok = (cand >= 0) & ~np.isin(cand, used)
+            sel, cand = sel[ok], cand[ok]
+            # duplicate guard within this rank: first feature (lowest index)
+            # claims a repeated candidate id
+            _uniq, first = np.unique(cand, return_index=True)
+            sel, cand = sel[first], cand[first]
+            ids[sel] = cand
+            used = np.concatenate([used, cand])
+            n_common += len(sel)
         fresh = m_valid & (ids < 0)
         n_new = int(fresh.sum())
         ids[fresh] = np.arange(self.next_match_id, self.next_match_id + n_new)
@@ -591,7 +668,7 @@ class SRBAStereoSLAMEstimator:
         return ids
 
     def _build_obs(self, frame, ids, first_kf: bool):
-        """Observation list for SRBA (≙ .cpp:139-161 / 685-728); pulls the
+        """Observation arrays for SRBA (≙ .cpp:139-161 / 685-728); pulls the
         frame arrays in one transfer then delegates."""
         (m_valid, xs_l, ys_l, xs_r, m_r, pts) = jax.device_get(
             (frame.m_valid, frame.xs_l, frame.ys_l, frame.xs_r,
@@ -600,26 +677,26 @@ class SRBAStereoSLAMEstimator:
         return self._build_obs_host(m_valid, xs_l, ys_l, xs_r, m_r, pts, ids)
 
     def _build_obs_host(self, m_valid, xs_l, ys_l, xs_r, m_r, pts, ids):
-        xs_l = xs_l.astype(np.float64)
-        ys_l = ys_l.astype(np.float64)
-        xs_r = xs_r.astype(np.float64)
-        pts = pts.astype(np.float64)
-        obs = []
-        known = self.rba.lm_id2idx
-        for f in np.nonzero(m_valid)[0]:
-            lm_id = int(ids[f])
-            if lm_id < 0:
-                continue
-            rel = pts[f] if lm_id not in known else None
-            obs.append((lm_id, xs_l[f], ys_l[f], xs_r[m_r[f]], rel))
-        return obs
+        """Vectorized (lm_ids, px, rel) observation arrays; the engine falls
+        back to its default init for rows whose rel is non-finite and ignores
+        rel for already-registered landmarks."""
+        sel = np.nonzero(m_valid & (ids >= 0))[0]
+        lm_ids = ids[sel]
+        px = np.stack([
+            xs_l[sel].astype(np.float64),
+            ys_l[sel].astype(np.float64),
+            xs_r[m_r[sel]].astype(np.float64),
+        ], axis=-1)
+        rel = pts[sel].astype(np.float64)
+        return (lm_ids, px, rel)
 
     # -------------------------------------------------------------- epilogue
     def finalize(self, out_dir: str | None = None):
         """Final global pose-graph optimization + outputs
         (≙ the epilogue, reference .cpp:939-1096)."""
         n = self.store.n_kfs
-        if n >= 2 and len(self.rba.edge_u):
+        self.rba.flush()
+        if n >= 2 and self.rba.n_edges:
             eu, ev, rel = self.rba.get_global_graphslam_problem()
             e_pad = max(64, 1 << (len(eu) - 1).bit_length())
             n_pad = max(64, 1 << (n - 1).bit_length())
@@ -650,11 +727,13 @@ class SRBAStereoSLAMEstimator:
 
             # landmarks composed with the OPTIMIZED base-KF poses so map and
             # trajectory share the post-epilogue frame
-            lms = [
-                se3_np.transform_point(self.final_poses[b], p)
-                for b, p in zip(self.rba.lm_base, self.rba.lm_pos)
-                if b < len(self.final_poses)
-            ]
+            n_lms = self.rba.n_lms
+            bases = self.rba.lm_base[:n_lms]
+            in_range = bases < len(self.final_poses)
+            lms = list(se3_np.transform_points_by_pose(
+                self.final_poses[bases[in_range]],
+                self.rba.lm_pos[:n_lms][in_range],
+            )) if in_range.any() else []
             export_scene_ply(
                 os.path.join(out_dir, "final_global_path.ply"),
                 self.final_poses, np.asarray(lms) if lms else None,

@@ -15,16 +15,25 @@ sites src/CSRBAStereoSLAMEstimator.cpp:166-168, 782-784):
 * loop-closure hooks ``loop_closure_detected`` / ``set_lc_old_id`` /
   ``set_initial_kf_pose`` (srba-stereo-slam.h:85-97).
 
-Split of labor: the graph bookkeeping (integer adjacency, BFS spanning trees,
-vote counting — hundreds of items) runs on host in numpy; every float-heavy
-step (the windowed LM + Schur + Cholesky bundle adjustment) is one fixed-shape
-jitted device program (srba_slam_tpu.ops.window_ba) shared by all windows.
+Split of labor: graph bookkeeping (adjacency, BFS spanning trees, votes) runs
+on host as VECTORIZED numpy over preallocated arrays (per-item python loops
+cost ~40 us each and dominated insertion time); the windowed LM + Schur +
+Cholesky bundle adjustment is one fixed-shape jitted device program
+(srba_slam_tpu.ops.window_ba) shared by all windows.
+
+Latency model: the window optimization is dispatched asynchronously and its
+results are pulled LAZILY — either merged into the caller's next bulk
+device transfer (``pending_device_arrays`` / ``commit_pending``) or forced by
+``flush()``. Through the tunneled TPU runtime every host<->device sync costs
+~40 ms regardless of payload, so deferring the pull hides both the round-trip
+and the BA compute behind host work. Until commit, ``kf_global`` holds the
+VO-seeded pose for the newest keyframe (one refinement stale); all reads that
+need optimized state flush first.
 """
 
 from __future__ import annotations
 
-from collections import deque
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -61,7 +70,11 @@ class SRBAParams:
 
 @dataclass
 class NewKFInfo:
-    """≙ TNewKeyFrameInfo (reference .cpp:178-181)."""
+    """≙ TNewKeyFrameInfo (reference .cpp:178-181).
+
+    With lazy optimization the cost fields are NaN until the engine commits
+    the pending window solve (``pending`` flips to False then).
+    """
 
     kf_id: int
     created_edges: list
@@ -70,39 +83,51 @@ class NewKFInfo:
     obs_rmse: float
     n_window_kfs: int
     n_window_obs: int
+    pending: bool = False
+    truncated_obs: int = 0
 
 
 class SRBAEngine:
-    def __init__(self, cam: StereoCamera, params: SRBAParams | None = None):
+    def __init__(self, cam: StereoCamera, params: SRBAParams | None = None,
+                 logger=None, on_commit=None, lazy: bool = False):
         self.cam = cam
         self.p = params or SRBAParams()
+        self.log = logger if logger is not None else (lambda level, msg: None)
+        # called as on_commit(kf_id, old_root_global, new_root_global) after a
+        # deferred window solve lands, so the owner can re-anchor bookkeeping
+        self.on_commit = on_commit
         self.n_kfs = 0
         # edges: (u, v, T_uv) with T_uv = pose of v in u's frame
-        self.edge_u: list[int] = []
-        self.edge_v: list[int] = []
-        self.edge_pose: list[np.ndarray] = []
-        self.adj: dict[int, list[tuple[int, int]]] = {}  # kf -> [(nbr, edge_idx)]
+        self._edge_cap = 64
+        self._edge_u = np.zeros(self._edge_cap, np.int32)
+        self._edge_v = np.zeros(self._edge_cap, np.int32)
+        self._edge_pose = np.zeros((self._edge_cap, 6), np.float64)
+        self.n_edges = 0
+        self.adj: dict[int, list[tuple[int, int]]] = {}  # kf -> [(nbr, edge)]
         self.kf_global = np.zeros((self.p.max_kfs, 6), np.float64)
-        # landmarks
-        self.lm_base: list[int] = []
-        self.lm_pos: list[np.ndarray] = []
-        self.lm_id2idx: dict[int, int] = {}
+        # landmarks (preallocated growing arrays)
+        self._lm_cap = 4096
+        self.lm_base = np.zeros(self._lm_cap, np.int32)
+        self.lm_pos = np.zeros((self._lm_cap, 3), np.float64)
+        self.n_lms = 0
+        self._lookup_cap = 8192
+        self._lm_lookup = np.full(self._lookup_cap, -1, np.int32)  # lm id -> idx
         # observations
-        # observation storage: preallocated growing arrays (appending to
-        # python lists and re-converting per insertion is O(total_obs) each
-        # time — quadratic over a run)
         self._obs_cap = 4096
         self.obs_kf = np.zeros(self._obs_cap, np.int32)
         self.obs_lm = np.zeros(self._obs_cap, np.int32)
         self.obs_px = np.zeros((self._obs_cap, 3), np.float64)
         self.n_obs = 0
-        # per-kf observed landmark indices (for votes / windows)
-        self.kf_obs: dict[int, list[int]] = {}
         # loop-closure hooks (≙ srba-stereo-slam.h:85-97)
         self._lc_detected = False
         self._lc_old_id: int | None = None
         self._initial_rel_pose: np.ndarray | None = None
-        self.localmap_center: dict[int, int] = {}  # kf -> its submap center kf
+        self.localmap_center = np.full(self.p.max_kfs, -1, np.int32)
+        # lazy=True defers window-solve pulls until flush()/commit_pending()
+        # (the estimator merges them into its next bulk transfer); lazy=False
+        # keeps the synchronous contract: results land before returning
+        self.lazy = lazy
+        self._pending: dict | None = None
 
     # ------------------------------------------------------------------ hooks
     def loop_closure_detected(self, flag: bool = True):
@@ -118,46 +143,84 @@ class SRBAEngine:
 
     # ------------------------------------------------------------ graph utils
     def _add_edge(self, u: int, v: int, pose_uv: np.ndarray) -> int:
-        e = len(self.edge_u)
-        self.edge_u.append(u)
-        self.edge_v.append(v)
-        self.edge_pose.append(np.asarray(pose_uv, np.float64))
+        e = self.n_edges
+        if e == self._edge_cap:
+            self._edge_cap *= 2
+            self._edge_u = np.concatenate(
+                [self._edge_u, np.zeros_like(self._edge_u)])
+            self._edge_v = np.concatenate(
+                [self._edge_v, np.zeros_like(self._edge_v)])
+            self._edge_pose = np.concatenate(
+                [self._edge_pose, np.zeros_like(self._edge_pose)])
+        self._edge_u[e] = u
+        self._edge_v[e] = v
+        self._edge_pose[e] = np.asarray(pose_uv, np.float64)
         self.adj.setdefault(u, []).append((v, e))
         self.adj.setdefault(v, []).append((u, e))
+        self.n_edges += 1
         return e
-
-    def _edge_rel(self, e: int, from_kf: int) -> np.ndarray:
-        """Pose of the OTHER endpoint in from_kf's frame."""
-        if self.edge_u[e] == from_kf:
-            return self.edge_pose[e]
-        return se3_np.inverse(self.edge_pose[e])
 
     def spanning_tree(self, root: int, max_depth: int | None = None):
         """BFS tree: kf -> (hops, pose of kf in root's frame), composed along
         current edge estimates (≙ create_complete_spanning_tree +
-        rba_state.spanning_tree topological distances)."""
+        rba_state.spanning_tree topological distances). Pose composition is
+        batched per BFS level."""
+        self.flush()
         out = {root: (0, np.zeros(6))}
-        q = deque([root])
-        while q:
-            k = q.popleft()
-            hops, pose_k = out[k]
-            if max_depth is not None and hops >= max_depth:
-                continue
-            for nbr, e in self.adj.get(k, ()):  # noqa: B905
-                if nbr in out:
-                    continue
-                out[nbr] = (hops + 1, se3_np.compose(pose_k, self._edge_rel(e, k)))
-                q.append(nbr)
+        pose_of = {root: np.zeros(6)}
+        frontier = [root]
+        depth = 0
+        while frontier and (max_depth is None or depth < max_depth):
+            parents, edges, nbrs = [], [], []
+            seen_this = set()
+            for k in frontier:
+                for nbr, e in self.adj.get(k, ()):
+                    if nbr in out or nbr in seen_this:
+                        continue
+                    seen_this.add(nbr)
+                    parents.append(k)
+                    edges.append(e)
+                    nbrs.append(nbr)
+            if not nbrs:
+                break
+            eidx = np.asarray(edges, np.int64)
+            rel = self._edge_pose[eidx]
+            flip = self._edge_u[eidx] != np.asarray(parents)
+            if flip.any():
+                rel = np.where(flip[:, None], se3_np.inverse_batch(rel), rel)
+            parent_poses = np.stack([pose_of[p] for p in parents])
+            new_poses = se3_np.compose_batch(parent_poses, rel)
+            depth += 1
+            for nbr, pose in zip(nbrs, new_poses):
+                out[nbr] = (depth, pose)
+                pose_of[nbr] = pose
+            frontier = nbrs
         return out
 
     def topo_distance(self, a: int, b: int, max_depth: int | None = None) -> int:
-        """Graph hops between a and b; a large sentinel when unreachable
-        within max_depth."""
-        tree = self.spanning_tree(a, max_depth)
-        return tree[b][0] if b in tree else 1 << 30
+        """Graph hops between a and b (integer BFS only — no pose algebra);
+        a large sentinel when unreachable within max_depth."""
+        if a == b:
+            return 0
+        visited = {a}
+        frontier = [a]
+        depth = 0
+        while frontier and (max_depth is None or depth < max_depth):
+            depth += 1
+            nxt = []
+            for k in frontier:
+                for nbr, _e in self.adj.get(k, ()):
+                    if nbr in visited:
+                        continue
+                    if nbr == b:
+                        return depth
+                    visited.add(nbr)
+                    nxt.append(nbr)
+            frontier = nxt
+        return 1 << 30
 
     # --------------------------------------------------- edge creation policy
-    def _edge_creation_policy(self, kf: int, obs_lm_indices: list[int]) -> list:
+    def _edge_creation_policy(self, kf: int, obs_lm_idx: np.ndarray) -> list:
         """≙ mySRBA::edge_creation_policy (srba-stereo-slam.h:144-308)."""
         p = self.p
         created = []
@@ -174,14 +237,16 @@ class SRBAEngine:
         else:
             # new submap base: vote observations per existing localmap center
             self.localmap_center[kf] = kf
-            votes: dict[int, int] = {}
-            for li in obs_lm_indices:
-                base = self.lm_base[li]
-                center = self.localmap_center.get(base, base)
-                votes[center] = votes.get(center, 0) + 1
-            if not votes:
-                votes = {self.localmap_center.get(kf - 1, kf - 1): 1}
-            ranked = sorted(votes.items(), key=lambda kv: -kv[1])
+            if len(obs_lm_idx):
+                bases = self.lm_base[obs_lm_idx]
+                centers = self.localmap_center[bases]
+                centers = np.where(centers >= 0, centers, bases)
+                counts = np.bincount(centers)
+                order = np.argsort(-counts, kind="stable")
+                ranked = [(int(c), int(counts[c])) for c in order if counts[c] > 0]
+            else:
+                prev_c = int(self.localmap_center[kf - 1])
+                ranked = [(prev_c if prev_c >= 0 else kf - 1, 1)]
             top_center = ranked[0][0]
             created.append(self._add_edge(top_center, kf, seed(top_center, kf)))
             # extra edges: far-away well-supported areas => loop-closure edges
@@ -193,8 +258,11 @@ class SRBAEngine:
                     created.append(self._add_edge(center, kf, seed(center, kf)))
         # explicit LC edge requested by the estimator's confirmation stage
         if self._lc_detected and self._lc_old_id is not None:
-            target = self.localmap_center.get(self._lc_old_id, self._lc_old_id)
-            have = {self.edge_u[e] for e in created} | {self.edge_v[e] for e in created}
+            target = int(self.localmap_center[self._lc_old_id])
+            if target < 0:
+                target = self._lc_old_id
+            have = {int(self._edge_u[e]) for e in created} | \
+                   {int(self._edge_v[e]) for e in created}
             if target not in have and target != kf:
                 created.append(self._add_edge(target, kf, seed(target, kf)))
         self._lc_detected = False
@@ -205,14 +273,16 @@ class SRBAEngine:
     def define_new_keyframe(self, observations, run_opt: bool = True) -> NewKFInfo:
         """Insert a keyframe.
 
-        observations: iterable of (lm_id, ul, vl, ur, rel_pos3d_or_None) —
-        ≙ the obs list built at reference .cpp:139-161 / 685-728 (feat id,
-        left px, right px, optional initial relative position).
+        observations: either an iterable of (lm_id, ul, vl, ur,
+        rel_pos3d_or_None) — ≙ the obs list built at reference .cpp:139-161 /
+        685-728 — or a pre-vectorized tuple of arrays
+        ``(lm_ids [N], px [N, 3], rel_pos [N, 3])`` (rows with non-finite
+        rel_pos fall back to the default initialization).
         """
+        self.flush()
         kf = self.n_kfs
         assert kf < self.p.max_kfs
         self.n_kfs += 1
-        self.kf_obs[kf] = []
 
         # initial global pose estimate
         if kf == 0:
@@ -226,105 +296,131 @@ class SRBAEngine:
             self.kf_global[kf] = se3_np.compose(self.kf_global[kf - 1], rel)
         self._initial_rel_pose = None
 
-        # landmarks + observations
-        obs_lm_indices = []
-        for (lm_id, ul, vl, ur, rel_pos) in observations:
-            if lm_id in self.lm_id2idx:
-                li = self.lm_id2idx[lm_id]
-            else:
-                li = len(self.lm_base)
-                self.lm_id2idx[lm_id] = li
-                self.lm_base.append(kf)
-                pos = (
-                    np.asarray(rel_pos, np.float64)
-                    if rel_pos is not None
-                    else np.array([0.0, 0.0, 10.0])
-                )
-                self.lm_pos.append(pos)
-            if self.n_obs == self._obs_cap:
-                self._obs_cap *= 2
-                self.obs_kf = np.concatenate([self.obs_kf, np.zeros_like(self.obs_kf)])
-                self.obs_lm = np.concatenate([self.obs_lm, np.zeros_like(self.obs_lm)])
-                self.obs_px = np.concatenate([self.obs_px, np.zeros_like(self.obs_px)])
-            self.obs_kf[self.n_obs] = kf
-            self.obs_lm[self.n_obs] = li
-            self.obs_px[self.n_obs] = (ul, vl, ur)
-            self.n_obs += 1
-            self.kf_obs[kf].append(li)
-            obs_lm_indices.append(li)
+        lm_ids, px, rel_pos = _obs_as_arrays(observations)
+        obs_lm_idx = self._register_observations(kf, lm_ids, px, rel_pos)
 
-        created = [] if kf == 0 else self._edge_creation_policy(kf, obs_lm_indices)
+        created = [] if kf == 0 else self._edge_creation_policy(kf, obs_lm_idx)
 
         if not run_opt or kf == 0:
-            return NewKFInfo(kf, created, 0.0, 0.0, 0.0, 1, len(obs_lm_indices))
-        return self._optimize_local_window(kf, created)
+            return NewKFInfo(kf, created, 0.0, 0.0, 0.0, 1, len(obs_lm_idx))
+        info = self._dispatch_window_opt(kf, created)
+        if not self.lazy:
+            self.commit_pending()
+        return info
+
+    def _register_observations(self, kf: int, lm_ids: np.ndarray,
+                               px: np.ndarray, rel_pos: np.ndarray) -> np.ndarray:
+        """Vectorized landmark registration + observation append. Returns the
+        landmark indices of the new KF's observations."""
+        n = len(lm_ids)
+        if n == 0:
+            return np.zeros(0, np.int64)
+        max_id = int(lm_ids.max())
+        if max_id >= self._lookup_cap:
+            new_cap = max(self._lookup_cap * 2, max_id + 1)
+            grown = np.full(new_cap, -1, np.int32)
+            grown[: self._lookup_cap] = self._lm_lookup
+            self._lm_lookup = grown
+            self._lookup_cap = new_cap
+        li = self._lm_lookup[lm_ids].astype(np.int64)
+        new_mask = li < 0
+        n_new = int(new_mask.sum())
+        if n_new:
+            while self.n_lms + n_new > self._lm_cap:
+                self._lm_cap *= 2
+                self.lm_base = np.concatenate(
+                    [self.lm_base, np.zeros_like(self.lm_base)])
+                self.lm_pos = np.concatenate(
+                    [self.lm_pos, np.zeros_like(self.lm_pos)])
+            new_idx = self.n_lms + np.arange(n_new)
+            self._lm_lookup[lm_ids[new_mask]] = new_idx
+            li[new_mask] = new_idx
+            self.lm_base[new_idx] = kf
+            rel_new = rel_pos[new_mask]
+            ok = np.isfinite(rel_new).all(axis=1)
+            self.lm_pos[new_idx] = np.where(
+                ok[:, None], rel_new, np.array([0.0, 0.0, 10.0]))
+            self.n_lms += n_new
+        while self.n_obs + n > self._obs_cap:
+            self._obs_cap *= 2
+            self.obs_kf = np.concatenate([self.obs_kf, np.zeros_like(self.obs_kf)])
+            self.obs_lm = np.concatenate([self.obs_lm, np.zeros_like(self.obs_lm)])
+            self.obs_px = np.concatenate([self.obs_px, np.zeros_like(self.obs_px)])
+        sl = slice(self.n_obs, self.n_obs + n)
+        self.obs_kf[sl] = kf
+        self.obs_lm[sl] = li
+        self.obs_px[sl] = px
+        self.n_obs += n
+        return li
 
     # ----------------------------------------------------------- optimization
-    def _optimize_local_window(self, root: int, created_edges) -> NewKFInfo:
+    def _dispatch_window_opt(self, root: int, created_edges) -> NewKFInfo:
+        """Build the ≤max_optimize_depth window, dispatch the BA program, and
+        defer the result pull (see the module docstring's latency model)."""
         p = self.p
         tree = self.spanning_tree(root, p.max_optimize_depth)
         # nearest-first, capped at the static capacity
         win_kfs = sorted(tree.keys(), key=lambda k: (tree[k][0], -k))[: p.win_cams]
-        win_set = {k: i for i, k in enumerate(win_kfs)}  # root -> 0
-        assert win_set[root] == 0
+        assert win_kfs[0] == root
 
+        win_map = np.full(self.n_kfs, -1, np.int32)
+        win_map[win_kfs] = np.arange(len(win_kfs))
         obs_kf = self.obs_kf[: self.n_obs]
         obs_lm = self.obs_lm[: self.n_obs]
-        in_win = np.isin(obs_kf, win_kfs)
-        lm_base_arr = np.asarray(self.lm_base)
-        base_in_win = np.isin(lm_base_arr[obs_lm], win_kfs)
+        in_win = win_map[obs_kf] >= 0
+        base_in_win = win_map[self.lm_base[obs_lm]] >= 0
         sel = np.nonzero(in_win & base_in_win)[0]
         # local landmark set
         lms = np.unique(obs_lm[sel])
         if len(lms) > p.win_lms:
             lms = lms[: p.win_lms]
-            sel = sel[np.isin(obs_lm[sel], lms)]
         if len(sel) > p.win_obs:
             sel = sel[-p.win_obs:]  # favor recent observations
-            lms = np.unique(obs_lm[sel])
-        lm_local = {li: i for i, li in enumerate(lms)}
+        lm_map = np.full(self.n_lms, -1, np.int32)
+        lm_map[lms] = np.arange(len(lms))
+        sel = sel[lm_map[obs_lm[sel]] >= 0]
+        lms_in_sel = np.unique(obs_lm[sel])
+        if len(lms_in_sel) < len(lms):
+            lms = lms_in_sel
+            lm_map[:] = -1
+            lm_map[lms] = np.arange(len(lms))
         n_dropped = int((in_win & base_in_win).sum()) - len(sel)
         if n_dropped > 0:
-            print(
-                f"[srba] WARNING kf{root}: window capacity truncated "
-                f"{n_dropped} observations (win_lms={p.win_lms}, "
-                f"win_obs={p.win_obs}) — loop-closure strength may suffer"
+            self.log(
+                1,
+                f"WARNING kf{root}: window capacity truncated {n_dropped} "
+                f"observations (win_lms={p.win_lms}, win_obs={p.win_obs}) — "
+                "loop-closure strength may suffer",
             )
 
-        # bucket the static shapes: the common small window (a handful of
-        # KFs, a few hundred landmarks) runs a ~4x cheaper compiled program
-        # than loop-closure-sized windows; exactly two programs ever compile
+        # bucket the static shapes: typical small windows run a much cheaper
+        # compiled program than loop-closure-sized ones; at most three
+        # programs ever compile
         buckets = [
             (min(16, p.win_cams), min(2048, p.win_lms), min(4096, p.win_obs)),
+            (min(16, p.win_cams), min(4096, p.win_lms), min(8192, p.win_obs)),
             (p.win_cams, p.win_lms, p.win_obs),
         ]
         for C, L, O in buckets:
             if len(win_kfs) <= C and len(lms) <= L and len(sel) <= O:
                 break
+        win_arr = np.asarray(win_kfs)
         cam_pose = np.zeros((C, 6), np.float32)
         cam_valid = np.zeros(C, bool)
-        root_global = self.kf_global[root]
-        for k, i in win_set.items():
-            cam_pose[i] = se3_np.relative(self.kf_global[k], root_global)
-            cam_valid[i] = True
+        cam_pose[: len(win_kfs)] = se3_np.relative_batch(
+            self.kf_global[win_arr], self.kf_global[root][None])
+        cam_valid[: len(win_kfs)] = True
         lm_pos = np.zeros((L, 3), np.float32)
         lm_base_loc = np.zeros(L, np.int32)
         lm_valid = np.zeros(L, bool)
-        for li, i in lm_local.items():
-            lm_pos[i] = self.lm_pos[li]
-            lm_base_loc[i] = win_set[self.lm_base[li]]
-            lm_valid[i] = True
+        lm_pos[: len(lms)] = self.lm_pos[lms]
+        lm_base_loc[: len(lms)] = win_map[self.lm_base[lms]]
+        lm_valid[: len(lms)] = True
         oc = np.zeros(O, np.int32)
         ol = np.zeros(O, np.int32)
         opx = np.zeros((O, 3), np.float32)
         ov = np.zeros(O, bool)
         n_o = len(sel)
-        win_map = np.full(self.n_kfs, -1, np.int32)
-        for k_, i_ in win_set.items():
-            win_map[k_] = i_
-        lm_map = np.full(len(self.lm_base), -1, np.int32)
-        for l_, i_ in lm_local.items():
-            lm_map[l_] = i_
         oc[:n_o] = win_map[obs_kf[sel]]
         ol[:n_o] = lm_map[obs_lm[sel]]
         opx[:n_o] = self.obs_px[: self.n_obs][sel]
@@ -338,53 +434,145 @@ class SRBAEngine:
             max_iters=p.opt_iters,
             use_kernel=p.use_robust_kernel,
         )
-        # Write back. Edges are the source of truth (the SRBA state): update
-        # every edge whose endpoints are both in the window from the optimized
-        # window-relative poses, then DERIVE all global poses by composing the
-        # spanning tree from KF0 — the anchor can never move (the window's
-        # internal gauge, root frozen, is irrelevant to the extracted
-        # relative information).
-        cam_opt_f, lm_opt_f, cost_init, cost_final, rmse = jax.device_get(
-            (res.cam_pose, res.lm_pos, res.cost_init, res.cost_final,
-             res.obs_rmse)
-        )
-        cam_opt = cam_opt_f.astype(np.float64)
-        for e in range(len(self.edge_u)):
-            u, v = self.edge_u[e], self.edge_v[e]
-            if u in win_set and v in win_set:
-                self.edge_pose[e] = se3_np.relative(
-                    cam_opt[win_set[v]], cam_opt[win_set[u]]
-                )
-        for k, (_h, rel) in self.spanning_tree(0).items():
-            self.kf_global[k] = rel
-        lm_opt = lm_opt_f.astype(np.float64)
-        for li, i in lm_local.items():
-            self.lm_pos[li] = lm_opt[i]
-
-        return NewKFInfo(
+        info = NewKFInfo(
             kf_id=root,
             created_edges=created_edges,
-            cost_init=float(cost_init),
-            cost_final=float(cost_final),
-            obs_rmse=float(rmse),
+            cost_init=float("nan"),
+            cost_final=float("nan"),
+            obs_rmse=float("nan"),
             n_window_kfs=len(win_kfs),
             n_window_obs=n_o,
+            pending=True,
+            truncated_obs=n_dropped,
         )
+        self._pending = dict(
+            root=root,
+            res=res,
+            win_arr=win_arr,
+            win_map=win_map,
+            lms=lms,
+            info=info,
+            old_root_global=self.kf_global[root].copy(),
+        )
+        return info
+
+    def pending_device_arrays(self) -> tuple:
+        """Device arrays of the in-flight window solve, for merging into the
+        caller's next bulk device_get (empty tuple when nothing is pending)."""
+        if self._pending is None:
+            return ()
+        r = self._pending["res"]
+        return (r.cam_pose, r.lm_pos, r.cost_init, r.cost_final, r.obs_rmse)
+
+    def commit_pending(self, host_vals: tuple | None = None):
+        """Write back the window solve. ``host_vals``, when given, must be the
+        already-pulled numpy values of ``pending_device_arrays()``."""
+        p = self._pending
+        if p is None:
+            return
+        self._pending = None
+        if host_vals is None:
+            r = p["res"]
+            host_vals = jax.device_get(
+                (r.cam_pose, r.lm_pos, r.cost_init, r.cost_final, r.obs_rmse))
+        cam_opt_f, lm_opt_f, cost_init, cost_final, rmse = host_vals
+        cam_opt = np.asarray(cam_opt_f, np.float64)
+        win_map = p["win_map"]
+        # Edges are the source of truth (the SRBA state): update every edge
+        # whose endpoints are both in the window from the optimized
+        # window-relative poses, then DERIVE all global poses by composing the
+        # spanning tree from KF0 — the anchor can never move (the window's
+        # internal gauge, root frozen, is irrelevant to the extracted relative
+        # information).
+        eu = self._edge_u[: self.n_edges]
+        ev = self._edge_v[: self.n_edges]
+        wu = win_map[eu]
+        wv = win_map[ev]
+        m = (wu >= 0) & (wv >= 0)
+        if m.any():
+            self._edge_pose[np.nonzero(m)[0]] = se3_np.relative_batch(
+                cam_opt[wv[m]], cam_opt[wu[m]])
+        for k, (_h, rel) in self.spanning_tree(0).items():
+            self.kf_global[k] = rel
+        lms = p["lms"]
+        self.lm_pos[lms] = np.asarray(lm_opt_f, np.float64)[: len(lms)]
+        info = p["info"]
+        info.cost_init = float(cost_init)
+        info.cost_final = float(cost_final)
+        info.obs_rmse = float(rmse)
+        info.pending = False
+        if self.on_commit is not None:
+            self.on_commit(p["root"], p["old_root_global"],
+                           self.kf_global[p["root"]].copy())
+
+    def flush(self):
+        """Force any pending window solve to land (no-op when none)."""
+        if self._pending is not None:
+            self.commit_pending()
 
     # -------------------------------------------------------------- exports
     def get_global_graphslam_problem(self):
         """kf2kf constraint list for the final pose-graph solve
         (≙ get_global_graphslam_problem, reference .cpp:946-947)."""
+        self.flush()
         return (
-            np.asarray(self.edge_u, np.int32),
-            np.asarray(self.edge_v, np.int32),
-            np.asarray(self.edge_pose, np.float64).reshape(-1, 6),
+            self._edge_u[: self.n_edges].copy(),
+            self._edge_v[: self.n_edges].copy(),
+            self._edge_pose[: self.n_edges].copy(),
         )
 
     def save_graph_as_dot(self, path: str):
         """≙ save_graph_as_dot (reference .cpp:801, 1094-1095)."""
         with open(path, "w") as f:
             f.write("graph srba {\n")
-            for e in range(len(self.edge_u)):
-                f.write(f"  {self.edge_u[e]} -- {self.edge_v[e]};\n")
+            for e in range(self.n_edges):
+                f.write(f"  {self._edge_u[e]} -- {self._edge_v[e]};\n")
             f.write("}\n")
+
+    # ------------------------------------------------------------ accessors
+    @property
+    def edge_u(self) -> np.ndarray:
+        return self._edge_u[: self.n_edges]
+
+    @property
+    def edge_v(self) -> np.ndarray:
+        return self._edge_v[: self.n_edges]
+
+    @property
+    def edge_pose(self) -> np.ndarray:
+        return self._edge_pose[: self.n_edges]
+
+    @property
+    def lm_id2idx(self) -> dict:
+        """Compat view of the landmark id -> index lookup (prefer
+        ``lm_lookup``/``known_lm_ids`` in hot paths)."""
+        ids = np.nonzero(self._lm_lookup >= 0)[0]
+        return {int(i): int(self._lm_lookup[i]) for i in ids}
+
+    def lm_known_mask(self, lm_ids: np.ndarray) -> np.ndarray:
+        """Vectorized 'is this landmark id registered already'."""
+        lm_ids = np.asarray(lm_ids, np.int64)
+        in_range = lm_ids < self._lookup_cap
+        out = np.zeros(len(lm_ids), bool)
+        out[in_range] = self._lm_lookup[lm_ids[in_range]] >= 0
+        return out
+
+
+def _obs_as_arrays(observations):
+    """Normalize either obs format to (lm_ids [N], px [N,3], rel_pos [N,3])."""
+    if isinstance(observations, tuple) and len(observations) == 3 \
+            and isinstance(observations[0], np.ndarray):
+        lm_ids, px, rel = observations
+        return (np.asarray(lm_ids, np.int64), np.asarray(px, np.float64),
+                np.asarray(rel, np.float64))
+    rows = list(observations)
+    n = len(rows)
+    lm_ids = np.zeros(n, np.int64)
+    px = np.zeros((n, 3), np.float64)
+    rel = np.full((n, 3), np.nan)
+    for i, (lm_id, ul, vl, ur, rel_pos) in enumerate(rows):
+        lm_ids[i] = lm_id
+        px[i] = (ul, vl, ur)
+        if rel_pos is not None:
+            rel[i] = rel_pos
+    return lm_ids, px, rel

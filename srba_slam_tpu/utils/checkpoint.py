@@ -23,13 +23,14 @@ import numpy as np
 import jax.numpy as jnp
 
 
-FORMAT_VERSION = 2  # v2: octave arrays in FrameFeatures/KFArrays
+FORMAT_VERSION = 3  # v3: array-based SRBA state (lookup table, edge arrays)
 
 
 def save_state(est, path: str):
     """Serialize a SRBAStereoSLAMEstimator to ``path`` (.npz)."""
     store = est.store
     rba = est.rba
+    rba.flush()  # land any in-flight window solve before snapshotting
     arrays = {f"kf_{name}": np.asarray(arr)
               for name, arr in zip(store.arrays._fields, store.arrays)}
     scalars = {
@@ -47,29 +48,23 @@ def save_state(est, path: str):
         "voc_k": est.bow.voc.k,
         "voc_L": est.bow.voc.L,
         "rba_n_kfs": rba.n_kfs,
-        "lm_id_keys": list(map(int, rba.lm_id2idx.keys())),
-        "lm_id_vals": list(map(int, rba.lm_id2idx.values())),
-        "localmap_center_keys": list(map(int, rba.localmap_center.keys())),
-        "localmap_center_vals": list(map(int, rba.localmap_center.values())),
     }
+    lm_id_keys = np.nonzero(rba._lm_lookup >= 0)[0]
     np.savez_compressed(
         path,
         __scalars__=json.dumps(scalars),
         **arrays,
         kf_match_ids=store.match_ids,
         kf_poses=store.poses,
-        rba_edge_u=np.asarray(rba.edge_u, np.int32),
-        rba_edge_v=np.asarray(rba.edge_v, np.int32),
-        rba_edge_pose=(
-            np.asarray(rba.edge_pose).reshape(-1, 6)
-            if rba.edge_pose else np.zeros((0, 6))
-        ),
+        rba_edge_u=rba.edge_u[: rba.n_edges].astype(np.int32),
+        rba_edge_v=rba.edge_v[: rba.n_edges].astype(np.int32),
+        rba_edge_pose=rba.edge_pose[: rba.n_edges].reshape(-1, 6),
         rba_kf_global=rba.kf_global,
-        rba_lm_base=np.asarray(rba.lm_base, np.int32),
-        rba_lm_pos=(
-            np.asarray(rba.lm_pos).reshape(-1, 3)
-            if rba.lm_pos else np.zeros((0, 3))
-        ),
+        rba_lm_base=rba.lm_base[: rba.n_lms].astype(np.int32),
+        rba_lm_pos=rba.lm_pos[: rba.n_lms].reshape(-1, 3),
+        rba_lm_id_keys=lm_id_keys.astype(np.int64),
+        rba_lm_id_vals=rba._lm_lookup[lm_id_keys].astype(np.int32),
+        rba_localmap_center=rba.localmap_center.astype(np.int32),
         rba_obs_kf=rba.obs_kf[: rba.n_obs].astype(np.int32),
         rba_obs_lm=rba.obs_lm[: rba.n_obs].astype(np.int32),
         rba_obs_px=rba.obs_px[: rba.n_obs].reshape(-1, 3),
@@ -101,17 +96,30 @@ def load_state(est, path: str):
     store.n_kfs = scalars["n_kfs"]
 
     rba = est.rba
+    rba._pending = None
     rba.n_kfs = scalars["rba_n_kfs"]
-    rba.edge_u = data["rba_edge_u"].tolist()
-    rba.edge_v = data["rba_edge_v"].tolist()
-    rba.edge_pose = [p for p in data["rba_edge_pose"]]
+    n_edges = len(data["rba_edge_u"])
+    rba._edge_cap = max(64, 1 << max(n_edges - 1, 1).bit_length())
+    rba._edge_u = np.zeros(rba._edge_cap, np.int32)
+    rba._edge_v = np.zeros(rba._edge_cap, np.int32)
+    rba._edge_pose = np.zeros((rba._edge_cap, 6), np.float64)
+    rba._edge_u[:n_edges] = data["rba_edge_u"]
+    rba._edge_v[:n_edges] = data["rba_edge_v"]
+    rba._edge_pose[:n_edges] = data["rba_edge_pose"]
+    rba.n_edges = n_edges
     rba.adj = {}
-    for e, (u, v) in enumerate(zip(rba.edge_u, rba.edge_v)):
+    for e in range(n_edges):
+        u, v = int(rba.edge_u[e]), int(rba.edge_v[e])
         rba.adj.setdefault(u, []).append((v, e))
         rba.adj.setdefault(v, []).append((u, e))
     rba.kf_global = data["rba_kf_global"].copy()
-    rba.lm_base = data["rba_lm_base"].tolist()
-    rba.lm_pos = [p for p in data["rba_lm_pos"]]
+    n_lms = len(data["rba_lm_base"])
+    rba._lm_cap = max(4096, 1 << max(n_lms - 1, 1).bit_length())
+    rba.lm_base = np.zeros(rba._lm_cap, np.int32)
+    rba.lm_pos = np.zeros((rba._lm_cap, 3), np.float64)
+    rba.lm_base[:n_lms] = data["rba_lm_base"]
+    rba.lm_pos[:n_lms] = data["rba_lm_pos"]
+    rba.n_lms = n_lms
     n_obs = len(data["rba_obs_kf"])
     rba._obs_cap = max(4096, 1 << max(n_obs - 1, 1).bit_length())
     rba.obs_kf = np.zeros(rba._obs_cap, np.int32)
@@ -121,13 +129,13 @@ def load_state(est, path: str):
     rba.obs_lm[:n_obs] = data["rba_obs_lm"]
     rba.obs_px[:n_obs] = data["rba_obs_px"]
     rba.n_obs = n_obs
-    rba.lm_id2idx = dict(zip(scalars["lm_id_keys"], scalars["lm_id_vals"]))
-    rba.localmap_center = dict(
-        zip(scalars["localmap_center_keys"], scalars["localmap_center_vals"])
-    )
-    rba.kf_obs = {}
-    for o, k in enumerate(rba.obs_kf[:n_obs]):
-        rba.kf_obs.setdefault(int(k), []).append(int(rba.obs_lm[o]))
+    keys = data["rba_lm_id_keys"]
+    rba._lookup_cap = max(8192,
+                          1 << max(int(keys.max()) if len(keys) else 1, 1)
+                          .bit_length())
+    rba._lm_lookup = np.full(rba._lookup_cap, -1, np.int32)
+    rba._lm_lookup[keys] = data["rba_lm_id_vals"]
+    rba.localmap_center = data["rba_localmap_center"].astype(np.int32)
 
     # rebuild the BoW database (the estimator may not have a vocabulary yet —
     # e.g. the train-on-first-frame path hasn't run in this process)

@@ -59,7 +59,8 @@ class DebugDumper:
         with open(self._path(f"da_info_{kf_id:04d}.txt"), "w") as f:
             for s, other_kf in enumerate(similar):
                 f.write(f"# candidate {other_kf} tracked {tracked[s]}\n")
-                for i in np.nonzero(status[s] != 0)[0]:
+                # every feature that found a raw match (status != sNON_TRACKED=1)
+                for i in np.nonzero(status[s] != 1)[0]:
                     f.write(f"{other_kf} {i} {oidx[s, i]} {status[s, i]}\n")
 
     def dump_loop_closure(self, kf_id: int, lc_with: int, tracked: int):

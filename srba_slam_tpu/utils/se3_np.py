@@ -83,3 +83,93 @@ def relative(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def transform_point(pose: np.ndarray, p: np.ndarray) -> np.ndarray:
     R, t = exp(pose)
     return R @ np.asarray(p, np.float64) + t
+
+
+# ---------------------------------------------------------------- batched
+# Vectorized twins over leading axes (host graph bookkeeping touches
+# hundreds of 6-vectors per keyframe insertion; per-item python calls cost
+# ~40 us each and dominated insertion host time).
+
+def hat_batch(w: np.ndarray) -> np.ndarray:
+    w = np.asarray(w, np.float64)
+    out = np.zeros(w.shape[:-1] + (3, 3))
+    out[..., 0, 1] = -w[..., 2]; out[..., 0, 2] = w[..., 1]
+    out[..., 1, 0] = w[..., 2]; out[..., 1, 2] = -w[..., 0]
+    out[..., 2, 0] = -w[..., 1]; out[..., 2, 1] = w[..., 0]
+    return out
+
+
+def so3_exp_batch(w: np.ndarray) -> np.ndarray:
+    w = np.asarray(w, np.float64)
+    theta = np.linalg.norm(w, axis=-1)
+    W = hat_batch(w)
+    W2 = W @ W
+    small = theta < 1e-9
+    th = np.where(small, 1.0, theta)
+    a = np.where(small, 1.0, np.sin(th) / th)[..., None, None]
+    b = np.where(small, 0.5, (1.0 - np.cos(th)) / th**2)[..., None, None]
+    return np.eye(3) + a * W + b * W2
+
+
+def so3_log_batch(R: np.ndarray) -> np.ndarray:
+    """Batched so3_log; falls back to the scalar path near theta = pi."""
+    R = np.asarray(R, np.float64)
+    tr = np.clip((np.trace(R, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(tr)
+    v = 0.5 * np.stack(
+        [R[..., 2, 1] - R[..., 1, 2], R[..., 0, 2] - R[..., 2, 0],
+         R[..., 1, 0] - R[..., 0, 1]], axis=-1)
+    small = theta < 1e-9
+    th = np.where(small, 1.0, theta)
+    scale = np.where(small, 1.0, th / np.maximum(np.sin(th), 1e-12))
+    out = v * scale[..., None]
+    near_pi = theta > np.pi - 1e-6
+    if np.any(near_pi):
+        idx = np.nonzero(near_pi.ravel())[0]
+        flat = out.reshape(-1, 3)
+        Rf = R.reshape(-1, 3, 3)
+        for i in idx:
+            flat[i] = so3_log(Rf[i])
+        out = flat.reshape(out.shape)
+    return out
+
+
+def exp_batch(xi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    xi = np.asarray(xi, np.float64)
+    return so3_exp_batch(xi[..., :3]), xi[..., 3:].copy()
+
+
+def log_batch(R: np.ndarray, t: np.ndarray) -> np.ndarray:
+    return np.concatenate([so3_log_batch(R), np.asarray(t, np.float64)], axis=-1)
+
+
+def compose_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    Ra, ta = exp_batch(a)
+    Rb, tb = exp_batch(b)
+    return log_batch(Ra @ Rb, (Ra @ tb[..., None])[..., 0] + ta)
+
+
+def inverse_batch(a: np.ndarray) -> np.ndarray:
+    Ra, ta = exp_batch(a)
+    RaT = np.swapaxes(Ra, -1, -2)
+    return log_batch(RaT, -(RaT @ ta[..., None])[..., 0])
+
+
+def relative_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pose of each `a` as seen from each frame `b`."""
+    Ra, ta = exp_batch(a)
+    Rb, tb = exp_batch(b)
+    RbT = np.swapaxes(Rb, -1, -2)
+    return log_batch(RbT @ Ra, (RbT @ (ta - tb)[..., None])[..., 0])
+
+
+def transform_points(pose: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Apply one pose to [N, 3] points."""
+    R, t = exp(pose)
+    return np.asarray(pts, np.float64) @ R.T + t
+
+
+def transform_points_by_pose(poses: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Apply pose i to point i ([N, 6] x [N, 3] -> [N, 3])."""
+    R, t = exp_batch(poses)
+    return (R @ np.asarray(pts, np.float64)[..., None])[..., 0] + t
