@@ -88,9 +88,16 @@ def _pseudo_huber_weight(rnorm: jax.Array, b: jax.Array) -> jax.Array:
 
 def _gn_stage(R0, t0, pts, obs, w_valid, cam, kernel_param, use_kernel,
               max_iters: int, min_mod: float, damping: float):
-    """Run up to max_iters frozen-when-converged damped GN steps."""
+    """Run up to max_iters damped GN steps, stopping early once the step
+    modulus drops below ``min_mod`` (the reference's ending condition) — a
+    real while_loop exit, not a frozen-carry fori_loop, because each spent
+    iteration is device time on the serial per-frame critical path."""
 
-    def body(_, carry):
+    def cond(carry):
+        _R, _t, done, iters = carry
+        return (~done) & (iters < max_iters)
+
+    def body(carry):
         R, t, done, iters = carry
         r, x = stereo_residuals(R, t, pts, obs, cam)
         J = _jacobian(x, cam)
@@ -115,8 +122,8 @@ def _gn_stage(R0, t0, pts, obs, w_valid, cam, kernel_param, use_kernel,
         iters = iters + apply.astype(jnp.int32)
         return R, t, done, iters
 
-    R, t, _, iters = jax.lax.fori_loop(
-        0, max_iters, body,
+    R, t, _, iters = jax.lax.while_loop(
+        cond, body,
         (R0, t0, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
     )
     return R, t, iters

@@ -159,6 +159,20 @@ def _inv3x3(A: jax.Array, damp: float = 1e-8) -> jax.Array:
     return adj * inv_det[..., None, None]
 
 
+def _split_matmul(oh: jax.Array, data: jax.Array) -> jax.Array:
+    """[N, O] x [O, M] contraction where ``oh`` is an exact-in-bf16 0/1
+    matrix. Splitting ``data`` into bf16 hi + residual lo keeps ~16 mantissa
+    bits through two DEFAULT-precision (MXU-rate) matmuls — ~6x faster than
+    a HIGHEST-precision f32 contraction at these shapes, which dominated the
+    LM iteration cost."""
+    hi = data.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = data - hi
+    return (
+        jax.lax.dot(oh, hi, preferred_element_type=jnp.float32)
+        + jax.lax.dot(oh, lo, preferred_element_type=jnp.float32)
+    )
+
+
 def _robust_cost(r, w_valid, kernel_param, use_kernel):
     rsq = jnp.sum(r * r, axis=-1)
     b2 = kernel_param * kernel_param
@@ -217,6 +231,21 @@ def _optimize_window_impl(
 
     cost0 = cost_of(win.cam_pose, win.lm_pos)
 
+    # loop-invariant one-hot selectors (hoisted out of the LM loop): all
+    # block sums below are MXU matmul contractions over the O axis instead of
+    # scatter-adds (TPU scatters with duplicate indices serialize; they
+    # dominated insertion time at 100-350 ms)
+    L_n = win.lm_pos.shape[0]
+    cam_a_h = win.obs_cam
+    cam_b_h = win.lm_base[win.obs_lm]
+    lm_i_h = win.obs_lm
+    oh_a = (cam_a_h[:, None] == jnp.arange(C)[None, :]).astype(jnp.float32)
+    oh_b = (cam_b_h[:, None] == jnp.arange(C)[None, :]).astype(jnp.float32)
+    oh_l = (lm_i_h[:, None] == jnp.arange(L_n)[None, :]).astype(jnp.float32)
+    oh_lT = oh_l.T
+    oh_a, oh_b, oh_l, oh_lT = jax.lax.optimization_barrier(
+        (oh_a, oh_b, oh_l, oh_lT))
+
     def lm_step(cam_pose, lm_pos, lam):
         r, x, X, Rc, Q_R = _project_residuals(
             cam_pose, lm_pos, win.lm_base, win.obs_cam, win.obs_lm, win.obs_px, cam
@@ -240,22 +269,9 @@ def _optimize_window_impl(
         dP = jnp.einsum("oij,ojk->oik", RcT, Rb, precision=_HI)
         JC = jnp.einsum("oij,ojk->oik", P, dP, precision=_HI)  # [O,3,3]
 
-        cam_a = win.obs_cam                                   # [O]
-        cam_b = win.lm_base[win.obs_lm]                       # [O]
-        lm_i = win.obs_lm
-
         wJA = JA * w[:, None, None]
         wJB = JB * w[:, None, None]
         wJC = JC * w[:, None, None]
-
-        # one-hot selector matrices: all block sums below become MXU matmul
-        # contractions over the O axis instead of scatter-adds (TPU scatters
-        # with duplicate indices serialize; these sums dominated insertion
-        # time at 100-350 ms — as matmuls they are ~1 ms)
-        L_n = win.lm_pos.shape[0]
-        oh_a = (cam_a[:, None] == jnp.arange(C)[None, :]).astype(jnp.float32)
-        oh_b = (cam_b[:, None] == jnp.arange(C)[None, :]).astype(jnp.float32)
-        oh_l = (lm_i[:, None] == jnp.arange(L_n)[None, :]).astype(jnp.float32)
 
         # gradient
         rA = jnp.einsum("oij,oi->oj", wJA, r, precision=_HI)   # [O,6]
@@ -265,7 +281,7 @@ def _optimize_window_impl(
             jnp.einsum("oc,oj->cj", oh_a, rA, precision=_HI)
             + jnp.einsum("oc,oj->cj", oh_b, rB, precision=_HI)
         )
-        g_l = jnp.einsum("ol,oj->lj", oh_l, rC, precision=_HI)
+        g_l = _split_matmul(oh_lT, rC)                         # [L,3]
 
         # H_cc blocks [C, C, 6, 6]
         aa = jnp.einsum("oij,oik->ojk", wJA, JA, precision=_HI).reshape(-1, 36)
@@ -280,17 +296,18 @@ def _optimize_window_impl(
         Hcc = Hcc + Hab + jnp.swapaxes(Hab.transpose(1, 0, 2, 3), -1, -2)
         Hcc = Hcc.reshape(C * C, 6, 6)
 
-        # H_cl blocks [C, L, 6, 3]
+        # H_cl blocks [C, L, 6, 3]: the O x L contraction is the FLOP-heavy
+        # one — run it as a single [L, O] x [O, C*18] split-bf16 matmul
         ac = jnp.einsum("oij,oik->ojk", wJA, JC, precision=_HI).reshape(-1, 18)
         bc = jnp.einsum("oij,oik->ojk", wJB, JC, precision=_HI).reshape(-1, 18)
-        Hcl = (
-            jnp.einsum("oc,ol,om->clm", oh_a, oh_l, ac, precision=_HI)
-            + jnp.einsum("oc,ol,om->clm", oh_b, oh_l, bc, precision=_HI)
-        ).reshape(C, L_n, 6, 3)
+        acm = (oh_a[:, :, None] * ac[:, None, :]
+               + oh_b[:, :, None] * bc[:, None, :]).reshape(-1, C * 18)
+        Hcl = _split_matmul(oh_lT, acm).reshape(L_n, C, 6, 3)
+        Hcl = jnp.swapaxes(Hcl, 0, 1)                          # [C, L, 6, 3]
 
         # H_ll diag blocks [L,3,3]
         cc = jnp.einsum("oij,oik->ojk", wJC, JC, precision=_HI).reshape(-1, 9)
-        Hll = jnp.einsum("ol,om->lm", oh_l, cc, precision=_HI).reshape(L_n, 3, 3)
+        Hll = _split_matmul(oh_lT, cc).reshape(L_n, 3, 3)
         # LM damping + keep padded landmarks fully determined
         Hll = Hll + (lam + 1e-6) * jnp.eye(3)[None]
         Hll = jnp.where(lm_w[:, None, None] > 0, Hll, jnp.eye(3)[None])
@@ -332,21 +349,33 @@ def _optimize_window_impl(
         lm_new = lm_pos + dl
         return cam_new, lm_new, ok
 
-    def body(_, carry):
-        cam_pose, lm_pos, cost, lam, iters = carry
+    def cond(carry):
+        _cam, _lm, _cost, _lam, _iters, it, stall = carry
+        # stop early once three consecutive attempts fail to improve the cost
+        # meaningfully (rejected steps or sub-1e-6 relative decreases) —
+        # typical windows converge in a handful of iterations and each LM
+        # iteration is the dominant per-insertion device cost
+        return (it < max_iters) & (stall < 3)
+
+    def body(carry):
+        cam_pose, lm_pos, cost, lam, iters, it, stall = carry
         cam_new, lm_new, ok = lm_step(cam_pose, lm_pos, lam)
         new_cost = cost_of(cam_new, lm_new)
         accept = ok & (new_cost < cost)
+        improving = accept & (cost - new_cost > 1e-6 * cost)
+        stall = jnp.where(improving, 0, stall + 1)
         cam_pose = jnp.where(accept, cam_new, cam_pose)
         lm_pos = jnp.where(accept, lm_new, lm_pos)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.4, 1e-7),
                         jnp.minimum(lam * 6.0, 1e3))
-        return cam_pose, lm_pos, cost, lam, iters + accept.astype(jnp.int32)
+        return (cam_pose, lm_pos, cost, lam,
+                iters + accept.astype(jnp.int32), it + 1, stall)
 
-    cam_pose, lm_pos, cost, _, iters = jax.lax.fori_loop(
-        0, max_iters, body,
+    cam_pose, lm_pos, cost, _, iters, _it, _stall = jax.lax.while_loop(
+        cond, body,
         (win.cam_pose, win.lm_pos, cost0, jnp.float32(init_lambda),
+         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
          jnp.asarray(0, jnp.int32)),
     )
 
