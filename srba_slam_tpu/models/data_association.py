@@ -81,6 +81,7 @@ def _da_single(
     cur: FrameFeatures,
     oth_row,
     oth_valid_kf: jax.Array,
+    init_pose: jax.Array,
     cam: StereoCamera,
     key: jax.Array,
     max_orb_distance_da: float,
@@ -148,8 +149,14 @@ def _da_single(
             [cur.xs_l.astype(jnp.float32), cur.ys_l.astype(jnp.float32), ur],
             axis=-1,
         )
+        # initial pose = rough relative pose of the candidate KF wrt the new
+        # KF from the spanning tree (≙ initialPoseVector at reference
+        # .cpp:2133-2147 / similar_kfs_poses at :1840-1868): for loop-closure
+        # candidates with large viewpoint change a zero start can converge to
+        # the wrong basin and reject a true loop closure
         sol = solve_pose(
             opts3d[oidx], obs, keep, cam,
+            initial_pose=init_pose,
             kernel_param=kernel_param,
             residual_threshold=residual_th,
             min_inliers=min_alive,
@@ -178,6 +185,7 @@ def query_and_associate(
     n_kfs: jax.Array,            # stored KF count (the new KF is NOT in yet)
     cam: StereoCamera,
     key: jax.Array,
+    init_poses: jax.Array | None = None,  # f32 [MAX_KFS, 6] per-KF DA seeds
     n_query: int = 4,
     max_orb_distance_da: float = 60.0,
     residual_th: float = 30.0,
@@ -191,6 +199,10 @@ def query_and_associate(
     score + rank) AND the DA cascade against {previous KF} ∪ top-n_query BoW
     results. The host then applies the similar-KF selection / LC logic to the
     returned superset (extra candidates are simply ignored).
+
+    ``init_poses[i]`` seeds the change-in-pose solve against candidate KF i
+    (≙ the spanning-tree rough relative poses fed to getChangeInPose,
+    reference .cpp:1840-1868, :2133-2147); zeros when omitted.
 
     Returns (scores [n_query], ids [n_query], cand [1+n_query], DAResult).
     """
@@ -209,8 +221,13 @@ def query_and_associate(
         (top_s > 0) & (top_i.astype(jnp.int32) != prev_kf),
     ])
     cand = jnp.clip(cand, 0, db.shape[0] - 1)
+    init_cand = (
+        init_poses[cand] if init_poses is not None
+        else jnp.zeros((cand.shape[0], 6), jnp.float32)
+    )
     da = da_cascade(
         cur, store_arrays, cand, cand_valid, cam, key,
+        init_poses=init_cand,
         max_orb_distance_da=max_orb_distance_da,
         residual_th=residual_th,
         max_y_diff_epipolar=max_y_diff_epipolar,
@@ -233,6 +250,7 @@ def da_cascade(
     others_valid: jax.Array,     # bool [S]
     cam: StereoCamera,
     key: jax.Array,
+    init_poses: jax.Array | None = None,  # f32 [S, 6] change-in-pose seeds
     max_orb_distance_da: float = 60.0,
     residual_th: float = 30.0,
     max_y_diff_epipolar: float = 2.0,
@@ -246,16 +264,18 @@ def da_cascade(
     s = others_valid.shape[0]
     others = jax.tree.map(lambda a: a[similar_idx], store_arrays)
     keys = jax.random.split(key, s)
+    if init_poses is None:
+        init_poses = jnp.zeros((s, 6), jnp.float32)
 
-    def one(oth_row, ov, kk):
+    def one(oth_row, ov, init, kk):
         return _da_single(
-            cur, oth_row, ov, cam, kk,
+            cur, oth_row, ov, init, cam, kk,
             max_orb_distance_da, residual_th, max_y_diff_epipolar,
             filter_by_direction, use_fund_matrix, use_change_pose, kernel_param,
         )
 
     status, oidx, tracked, pose, pose_ok, mean_res = jax.vmap(one)(
-        tuple(others), others_valid, keys
+        tuple(others), others_valid, init_poses, keys
     )
     tracked = jnp.where(others_valid, tracked, 0)
     return DAResult(status, oidx, tracked, pose, pose_ok & others_valid, mean_res)

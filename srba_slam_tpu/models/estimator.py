@@ -129,7 +129,22 @@ class SRBAStereoSLAMEstimator:
             on_commit=self._on_rba_commit,
             lazy=True,
         )
-        # pose state
+        # camera-on-robot extrinsic (≙ reference .cpp:1106-1112): the
+        # configured pose (x y z, yaw pitch roll in degrees) composed with the
+        # fixed (-90°, 0, -90°) image-to-camera axis swap. All INTERNAL
+        # bookkeeping stays in the KF0-camera frame; the extrinsic is applied
+        # at the boundaries — world outputs T_world = E ∘ T_cam ∘ E⁻¹ (KF
+        # poses, ≙ .cpp:900-916/:977-987) and the current camera-in-world
+        # pose E ∘ T_cam (≙ m_current_pose, .cpp:922/:1112).
+        p = list(self.opts.camera_pose_on_robot or []) + [0.0] * 6
+        cfg_pose = se3_np.from_xyz_ypr(
+            p[0], p[1], p[2],
+            np.deg2rad(p[3]), np.deg2rad(p[4]), np.deg2rad(p[5]))
+        axis_swap = se3_np.from_xyz_ypr(
+            0.0, 0.0, 0.0, np.deg2rad(-90.0), 0.0, np.deg2rad(-90.0))
+        self.sensor_pose = se3_np.compose(cfg_pose, axis_swap)
+        self.sensor_pose_inv = se3_np.inverse(self.sensor_pose)
+        # pose state (KF0-camera frame)
         self.current_pose = np.zeros(6)
         self.last_kf_pose = np.zeros(6)
         self.incr_from_last_kf = np.zeros(6)
@@ -481,11 +496,27 @@ class SRBAStereoSLAMEstimator:
         # (per-op round-trips are expensive through the tunneled runtime)
         m = self.opts.da_stage2_method
         self._da_key, sub = jax.random.split(self._da_key)
+        init_poses = None
+        if m in (2, 3):
+            # rough relative poses of every stored KF wrt the new KF, from
+            # the (possibly one-solve-stale) spanning tree of the previous KF
+            # (≙ similar_kfs_poses, reference .cpp:1840-1868): seed the DA
+            # change-in-pose solves. Unreachable KFs keep the identity seed,
+            # like the reference's default-constructed CPose3D.
+            prev_kf = self.store.n_kfs - 1
+            incr_inv = se3_np.inverse(self.incr_from_last_kf)
+            init = np.zeros((self.max_kfs, 6), np.float32)
+            tree = self.rba.spanning_tree(
+                prev_kf, self.opts.srba_max_tree_depth, allow_stale=True)
+            for k, (_h, pose) in tree.items():
+                init[k] = se3_np.compose(incr_inv, pose)
+            init_poses = jnp.asarray(init)
         with self.profiler.section("queryDB"):
             top_s, top_i, cand, da = query_and_associate(
                 frame, self.store.arrays, self.bow._db,
                 self.bow._leaf_bits, self.bow._weights,
                 jnp.int32(self.store.n_kfs), self.cam, sub,
+                init_poses=init_poses,
                 max_orb_distance_da=self.opts.max_orb_distance_da,
                 residual_th=self.opts.residual_th,
                 max_y_diff_epipolar=self.opts.max_y_diff_epipolar,
@@ -583,6 +614,12 @@ class SRBAStereoSLAMEstimator:
         res.define_kf_ms = dt
         self.kf_stats.append(TStatsSRBA(dt, self.store.n_kfs, n_new, n_common))
         return ids
+
+    @property
+    def current_world_pose(self) -> np.ndarray:
+        """Camera pose in the world/robot frame: E ∘ T_cam
+        (≙ m_current_pose, reference .cpp:922, :1112)."""
+        return se3_np.compose(self.sensor_pose, self.current_pose)
 
     def _on_rba_commit(self, kf_id: int, old_global: np.ndarray,
                        new_global: np.ndarray):
@@ -712,9 +749,18 @@ class SRBAStereoSLAMEstimator:
                     jnp.asarray(eu_a), jnp.asarray(ev_a), jnp.asarray(rel_a),
                     jnp.asarray(e_valid), max_iters=25,
                 )
-            self.final_poses = np.asarray(poses)[:n].astype(np.float64)
+            final_cam = np.asarray(poses)[:n].astype(np.float64)
         else:
-            self.final_poses = self.rba.kf_global[:n].copy()
+            final_cam = self.rba.kf_global[:n].copy()
+        # world-frame KF poses T_world = E ∘ T_cam ∘ E⁻¹ (≙ the reference's
+        # robot-frame keyframe poses; camera_pose_on_robot semantics above)
+        self.final_poses_cam = final_cam
+        E = np.broadcast_to(self.sensor_pose, final_cam.shape)
+        Ei = np.broadcast_to(self.sensor_pose_inv, final_cam.shape)
+        self.final_poses = (
+            se3_np.compose_batch(se3_np.compose_batch(E, final_cam), Ei)
+            if n else final_cam
+        )
 
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
@@ -729,9 +775,16 @@ class SRBAStereoSLAMEstimator:
             # trajectory share the post-epilogue frame
             n_lms = self.rba.n_lms
             bases = self.rba.lm_base[:n_lms]
-            in_range = bases < len(self.final_poses)
+            in_range = bases < len(self.final_poses_cam)
+            # landmark world position = (E ∘ T_cam_base) applied to the
+            # base-frame point
+            world_cam = se3_np.compose_batch(
+                np.broadcast_to(self.sensor_pose,
+                                self.final_poses_cam.shape),
+                self.final_poses_cam,
+            ) if n else self.final_poses_cam
             lms = list(se3_np.transform_points_by_pose(
-                self.final_poses[bases[in_range]],
+                world_cam[bases[in_range]],
                 self.rba.lm_pos[:n_lms][in_range],
             )) if in_range.any() else []
             export_scene_ply(

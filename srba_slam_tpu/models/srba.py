@@ -160,12 +160,18 @@ class SRBAEngine:
         self.n_edges += 1
         return e
 
-    def spanning_tree(self, root: int, max_depth: int | None = None):
+    def spanning_tree(self, root: int, max_depth: int | None = None,
+                      allow_stale: bool = False):
         """BFS tree: kf -> (hops, pose of kf in root's frame), composed along
         current edge estimates (≙ create_complete_spanning_tree +
         rba_state.spanning_tree topological distances). Pose composition is
-        batched per BFS level."""
-        self.flush()
+        batched per BFS level.
+
+        ``allow_stale=True`` skips flushing a pending window solve (poses may
+        be one refinement old) — for callers that only need rough poses and
+        must not force an extra device sync, e.g. DA seeding."""
+        if not allow_stale:
+            self.flush()
         out = {root: (0, np.zeros(6))}
         pose_of = {root: np.zeros(6)}
         frontier = [root]

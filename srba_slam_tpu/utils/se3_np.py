@@ -85,6 +85,26 @@ def transform_point(pose: np.ndarray, p: np.ndarray) -> np.ndarray:
     return R @ np.asarray(p, np.float64) + t
 
 
+def from_xyz_ypr(x: float, y: float, z: float, yaw: float, pitch: float,
+                 roll: float) -> np.ndarray:
+    """6-vector pose from MRPT ``CPose3D(x, y, z, yaw, pitch, roll)``
+    (angles in RADIANS; R = Rz(yaw) Ry(pitch) Rx(roll))."""
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cr, sr = np.cos(roll), np.sin(roll)
+    R = np.array([
+        [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
+        [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
+        [-sp, cp * sr, cp * cr],
+    ])
+    return log(R, np.array([x, y, z], np.float64))
+
+
+def conjugate(pose: np.ndarray, by: np.ndarray) -> np.ndarray:
+    """``by ∘ pose ∘ by^-1`` — re-express a transform in another frame."""
+    return compose(compose(by, pose), inverse(by))
+
+
 # ---------------------------------------------------------------- batched
 # Vectorized twins over leading axes (host graph bookkeeping touches
 # hundreds of 6-vectors per keyframe insertion; per-item python calls cost

@@ -121,3 +121,37 @@ def test_orb_distance_filter_status(rng):
     status = np.asarray(res.status[0])
     assert (status[:50] == S_REJ_ORB).sum() > 30
     assert (status[50:100] == S_TRACKED).sum() > 35
+
+
+def test_change_pose_seeding_recovers_large_viewpoint_lc(rng):
+    """Filter-4 pose seeding (≙ initialPoseVector, reference .cpp:1840-1868 +
+    :2133-2147): under a large viewpoint change the zero-initialized
+    change-in-pose solve converges to the wrong basin and rejects everything;
+    seeding with the rough spanning-tree relative pose recovers the loop
+    closure."""
+    n = 100
+    pts = np.stack([rng.uniform(-10, 10, n), rng.uniform(-2, 2, n),
+                    rng.uniform(8, 35, n)], -1)
+    desc = jnp.asarray(
+        rng.integers(0, 2**32, (K, 8), dtype=np.uint64).astype(np.uint32))
+    a = np.deg2rad(70.0)  # 70-degree viewpoint change around Y
+    pose_oth = np.array([0.0, a, 0.0, 12 * np.sin(a), 0.0,
+                         12 * (1 - np.cos(a))])
+    kf_oth = _make_kf(rng, pose_oth, pts, desc)
+    kf_cur = _make_kf(rng, np.zeros(6), pts, desc)
+    store = _store_with([kf_oth])
+    # T maps candidate-KF points into the current frame:
+    # inv(pose_cur) ∘ pose_oth = pose_oth here; perturb like a rough seed
+    seed = jnp.asarray(pose_oth + rng.normal(0, 0.05, 6),
+                       jnp.float32)[None]
+
+    zero = da_cascade(kf_cur, store.arrays, jnp.asarray([0]),
+                      jnp.asarray([True]), CAM, jax.random.PRNGKey(0),
+                      use_fund_matrix=False, residual_th=5.0)
+    seeded = da_cascade(kf_cur, store.arrays, jnp.asarray([0]),
+                        jnp.asarray([True]), CAM, jax.random.PRNGKey(0),
+                        init_poses=seed, use_fund_matrix=False,
+                        residual_th=5.0)
+    assert int(zero.tracked_count[0]) == 0 and not bool(zero.pose_valid[0])
+    assert int(seeded.tracked_count[0]) > 50 and bool(seeded.pose_valid[0])
+    np.testing.assert_allclose(np.asarray(seeded.pose[0]), pose_oth, atol=0.02)

@@ -77,7 +77,10 @@ def test_ate_rmse_metric(source):
 def test_trajectory_accuracy(source, tmp_path):
     est = make_estimator()
     est.perform_stereo_slam(source)
-    poses = est.finalize()
+    est.finalize()
+    # ground truth is expressed in the KF0-camera frame; finalize() returns
+    # world-frame poses (conjugated by the sensor extrinsic / axis swap)
+    poses = est.final_poses_cam
     # compare each KF global pose against the ground-truth trajectory:
     # KF poses should lie on the GT path (distance to nearest GT pose small)
     gt = source.gt_poses
@@ -120,3 +123,42 @@ def test_stats_and_profiler(source):
     assert len(est.kf_stats) == est.store.n_kfs
     for name in ("queryDB", "performDA", "define_kf"):
         assert name in est.profiler.sections, name
+
+
+def test_camera_pose_on_robot_extrinsic(source):
+    """camera_pose_on_robot semantics (≙ reference .cpp:1106-1112, :922):
+    world outputs are the camera trajectory conjugated by E = cfg_pose ∘
+    (-90°, 0, -90°); a non-identity extrinsic transforms the trajectory
+    exactly, and the internal camera-frame solution is unchanged."""
+    est = make_estimator()
+    est.perform_stereo_slam(source)
+    est.finalize()
+
+    # default config still applies the unconditional axis swap
+    swap = se3_np.from_xyz_ypr(0, 0, 0, np.deg2rad(-90), 0, np.deg2rad(-90))
+    np.testing.assert_allclose(est.sensor_pose, swap, atol=1e-12)
+    for pc, pw in zip(est.final_poses_cam, est.final_poses):
+        np.testing.assert_allclose(
+            pw, se3_np.conjugate(pc, est.sensor_pose), atol=1e-9)
+    # current_world_pose matches m_current_pose semantics: E ∘ T_cam
+    np.testing.assert_allclose(
+        est.current_world_pose,
+        se3_np.compose(est.sensor_pose, est.current_pose), atol=1e-12)
+
+    # non-identity extrinsic: same scene, same internal solution, trajectory
+    # re-expressed in the robot frame
+    ext = [0.5, -0.2, 1.0, 30.0, 0.0, 10.0]  # x y z yaw pitch roll (deg)
+    est2 = make_estimator(camera_pose_on_robot=ext)
+    est2.perform_stereo_slam(source)
+    est2.finalize()
+    cfg_pose = se3_np.from_xyz_ypr(
+        0.5, -0.2, 1.0, np.deg2rad(30.0), 0.0, np.deg2rad(10.0))
+    expect_E = se3_np.compose(cfg_pose, swap)
+    np.testing.assert_allclose(est2.sensor_pose, expect_E, atol=1e-12)
+    # the internal (camera-frame) trajectory is identical to the default run
+    assert est2.store.n_kfs == est.store.n_kfs
+    np.testing.assert_allclose(est2.final_poses_cam, est.final_poses_cam,
+                               atol=1e-9)
+    for pc, pw in zip(est2.final_poses_cam, est2.final_poses):
+        np.testing.assert_allclose(
+            pw, se3_np.conjugate(pc, expect_E), atol=1e-9)
