@@ -133,7 +133,8 @@ def main(argv=None):
 
 if __name__ == "__main__":
     # top-level catch ≙ the reference's main() try/except
-    # (src/srba-stereo-slam_main.cpp:66-75)
+    # (src/srba-stereo-slam_main.cpp:66-75); mid-run pipeline failures have
+    # already saved their artifacts via the estimator's emergency epilogue
     try:
         sys.exit(main())
     except FileNotFoundError as e:
@@ -142,3 +143,11 @@ if __name__ == "__main__":
     except KeyboardInterrupt:
         print("[srba_slam_tpu] interrupted", file=sys.stderr)
         sys.exit(130)
+    except Exception as e:  # noqa: BLE001
+        import traceback
+
+        traceback.print_exc()
+        print(f"[srba_slam_tpu] fatal: {type(e).__name__}: {e} "
+              "(crash artifacts, if any, are under <out_dir>/crash/)",
+              file=sys.stderr)
+        sys.exit(1)

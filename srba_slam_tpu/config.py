@@ -184,6 +184,11 @@ class SRBAStereoSLAMOptions:
     # camera
     camera: StereoCamera = field(default_factory=StereoCamera.kitti)
     camera_pose_on_robot: list[float] = field(default_factory=lambda: [0.0] * 6)
+    # radial-tangential distortion [k1 k2 p1 p2 k3] per eye (MRPT TCamera
+    # ``dist`` rows of the CAMERA_LEFT/CAMERA_RIGHT sections); consumed by
+    # the RECTIFY stage when rectified_images=false
+    camera_dist_l: list[float] = field(default_factory=lambda: [0.0] * 5)
+    camera_dist_r: list[float] = field(default_factory=lambda: [0.0] * 5)
 
     @staticmethod
     def from_config(cfg: IniFile) -> "SRBAStereoSLAMOptions":
@@ -225,6 +230,8 @@ class SRBAStereoSLAMOptions:
         # camera
         o.camera = _camera_from_config(cfg)
         o.camera_pose_on_robot = cfg.read_vector("GENERAL", "camera_pose_on_robot", o.camera_pose_on_robot)
+        o.camera_dist_l = cfg.read_vector("CAMERA_LEFT", "dist", o.camera_dist_l)
+        o.camera_dist_r = cfg.read_vector("CAMERA_RIGHT", "dist", o.camera_dist_r)
         return o
 
 

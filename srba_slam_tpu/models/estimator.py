@@ -103,6 +103,24 @@ class SRBAStereoSLAMEstimator:
         self.vo_opts.n_feats = o.n_feats
         self.vo_opts.fast_th = o.detect_fast_th
         self.vo = StereoVOEngine(self.cam, self.vo_opts, capacity=self.capacity)
+        # RECTIFY stage (≙ stereo-vo rectification, config_img_dir_example
+        # .ini:36 + CAMERA_* dist rows): when the rig declares unrectified
+        # images with real distortion, precompute per-eye undistortion grids
+        # once; the remap fuses into the frontend program
+        dist_l = list(o.camera_dist_l or [])
+        dist_r = list(o.camera_dist_r or [])
+        if not self.vo_opts.rectified_images and (
+                any(dist_l) or any(dist_r)):
+            from srba_slam_tpu.ops.rectify import build_maps
+
+            self.vo.rect_maps = (
+                build_maps(self.cam.width, self.cam.height, self.cam.fx_l,
+                           self.cam.fy_l, self.cam.cx_l, self.cam.cy_l,
+                           dist=dist_l),
+                build_maps(self.cam.width, self.cam.height, self.cam.fx_r,
+                           self.cam.fy_r, self.cam.cx_r, self.cam.cy_r,
+                           dist=dist_r),
+            )
         # vocabulary: explicit > config file > on-the-fly training later
         if vocabulary is None and o.voc_filename and os.path.exists(o.voc_filename):
             vocabulary = Vocabulary.load_dbow2(o.voc_filename)
@@ -266,6 +284,7 @@ class SRBAStereoSLAMEstimator:
             max_iters_initial=o.initial_max_iters,
             max_iters=o.max_iters,
             min_inliers=o.bad_tracking_th,
+            rect_maps=eng.rect_maps,
         )
         return dict(outs=outs, last_feat=last_feat, last_inc=last_inc,
                     b=lefts.shape[0])
@@ -597,7 +616,15 @@ class SRBAStereoSLAMEstimator:
         if self.opts.use_initial_pose:
             self.rba.set_initial_kf_pose(self.incr_from_last_kf)
         with self.profiler.section("define_kf"):
-            info = self.rba.define_new_keyframe(obs, run_opt=True)
+            try:
+                info = self.rba.define_new_keyframe(obs, run_opt=True)
+            except Exception as exc:
+                # ≙ the reference's exception epilogue around
+                # define_new_keyframe (.cpp:792-839): save the graph, the
+                # trajectory so far, the timing stats, and a resumable
+                # checkpoint before propagating the failure
+                self.emergency_epilogue(exc)
+                raise
         kf_id = info.kf_id
         new_global = self.rba.kf_global[kf_id].copy()
         self.store.append(frame, ids, new_global)
@@ -728,6 +755,41 @@ class SRBAStereoSLAMEstimator:
         return (lm_ids, px, rel)
 
     # -------------------------------------------------------------- epilogue
+    def emergency_epilogue(self, exc: BaseException | None = None):
+        """≙ the exception handler around define_new_keyframe (reference
+        .cpp:792-839): on a mid-run failure, persist everything recoverable —
+        final_graph.dot, out_kf_poses.txt, profiler.csv, and a full
+        checkpoint — to ``<out_dir>/crash/`` so no state is lost. Never
+        raises (best-effort; the original exception is the caller's)."""
+        out_dir = os.path.join(self.general.out_dir or "out", "crash")
+        try:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, "error.txt"), "w") as f:
+                f.write(f"{type(exc).__name__ if exc else 'unknown'}: {exc}\n")
+        except Exception:
+            return
+        try:
+            self.rba._pending = None  # the failed solve is not committable
+            self.finalize(out_dir=out_dir)
+        except Exception:
+            # minimal fallback: raw graph + unoptimized trajectory
+            try:
+                self.final_poses = self.rba.kf_global[: self.store.n_kfs].copy()
+                self.final_poses_cam = self.final_poses
+                self.save_trajectory(os.path.join(out_dir, "out_kf_poses.txt"))
+                self.save_kf_stats(os.path.join(out_dir, "time_new_kf.txt"))
+                self.profiler.save_csv(os.path.join(out_dir, "profiler.csv"))
+                self.rba.save_graph_as_dot(
+                    os.path.join(out_dir, "final_graph.dot"))
+            except Exception:
+                pass
+        try:
+            from srba_slam_tpu.utils.checkpoint import save_state
+
+            save_state(self, os.path.join(out_dir, "emergency_state.npz"))
+        except Exception:
+            pass
+
     def finalize(self, out_dir: str | None = None):
         """Final global pose-graph optimization + outputs
         (≙ the epilogue, reference .cpp:939-1096)."""

@@ -85,6 +85,7 @@ def extract_and_match(
     max_disparity: float = 1e9,
     oriented: bool = False,
     n_levels: int = 1,
+    rect_maps=None,
 ) -> FrameFeatures:
     """Full frontend for one stereo pair; one compiled program.
 
@@ -92,7 +93,17 @@ def extract_and_match(
     stereo-vo nOctaves option) — coordinates are reported at full resolution,
     descriptors are sampled at the detecting octave's scale. The feature
     budget splits evenly across octaves (remainder to octave 0).
+
+    ``rect_maps``, when given as a (RectifyMaps_left, RectifyMaps_right)
+    pair, runs the RECTIFY stage first (≙ stereo-vo's rectification for
+    ``rectified_images=false`` rigs): the undistortion remap fuses into this
+    same compiled program.
     """
+    if rect_maps is not None:
+        from srba_slam_tpu.ops.rectify import remap_bilinear
+
+        left = remap_bilinear(left, rect_maps[0])
+        right = remap_bilinear(right, rect_maps[1])
     imgs = jnp.stack([left.astype(jnp.float32), right.astype(jnp.float32)])
     # budget split across octaves, capped by each octave's grid-cell count
     # (lax.top_k over fewer cells than k would fail at trace time); any
@@ -181,6 +192,7 @@ def vo_scan(
     max_iters_initial: int = 30,
     max_iters: int = 30,
     min_inliers: int = 5,
+    rect_maps=None,
 ):
     """Whole-batch VO: lax.scan of (extract -> track -> solve) over B frames.
 
@@ -197,7 +209,7 @@ def vo_scan(
             left, right, cam, fast_th, orb_th, k=k, cell=cell,
             nms_radius=nms_radius, margin=margin, max_y_diff=max_y_diff,
             min_disparity=min_disparity, max_disparity=max_disparity,
-            oriented=oriented, n_levels=n_levels,
+            oriented=oriented, n_levels=n_levels, rect_maps=rect_maps,
         )
         out = track_and_solve(
             prev_feat, cur, cam, last_inc, orb_th,
@@ -293,6 +305,10 @@ class StereoVOEngine:
         self._cur_ids: np.ndarray | None = None
         self._last_pose_inc = np.zeros(6, np.float32)
         self._next_id: int = 0
+        # optional (RectifyMaps_l, RectifyMaps_r) undistortion grids applied
+        # inside the frontend program (set by the estimator when the config
+        # declares unrectified input)
+        self.rect_maps = None
 
     def _mint_ids(self, ids: np.ndarray, m_valid: np.ndarray) -> np.ndarray:
         fresh = m_valid & (ids < 0)
@@ -329,6 +345,7 @@ class StereoVOEngine:
             max_y_diff=self.opts.max_y_diff,
             oriented=self.opts.orb_oriented,
             n_levels=self.opts.n_octaves,
+            rect_maps=self.rect_maps,
         )
         if self._prev is None:
             m_valid_h = np.asarray(cur.m_valid)

@@ -162,3 +162,36 @@ def test_camera_pose_on_robot_extrinsic(source):
     for pc, pw in zip(est2.final_poses_cam, est2.final_poses):
         np.testing.assert_allclose(
             pw, se3_np.conjugate(pc, expect_E), atol=1e-9)
+
+
+def test_exception_epilogue_saves_artifacts(source, tmp_path, monkeypatch):
+    """≙ the reference's exception handler around define_new_keyframe
+    (.cpp:792-839): a mid-run insertion failure saves the graph, trajectory,
+    timing stats and a resumable checkpoint before the exception propagates."""
+    est = make_estimator()
+    est.general.out_dir = str(tmp_path)
+
+    orig = est.rba.define_new_keyframe
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 4:
+            raise RuntimeError("injected SRBA failure")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(est.rba, "define_new_keyframe", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        est.perform_stereo_slam(source)
+
+    crash = tmp_path / "crash"
+    for fname in ("error.txt", "final_graph.dot", "out_kf_poses.txt",
+                  "profiler.csv", "emergency_state.npz"):
+        assert (crash / fname).exists(), fname
+    assert "injected SRBA failure" in (crash / "error.txt").read_text()
+    # the checkpoint is resumable
+    from srba_slam_tpu.utils.checkpoint import load_state
+
+    est2 = make_estimator()
+    load_state(est2, str(crash / "emergency_state.npz"))
+    assert est2.store.n_kfs >= 3

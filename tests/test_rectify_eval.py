@@ -66,3 +66,89 @@ def test_load_kf_poses_roundtrip(tmp_path):
     p.write_text("0 1.0 2.0 3.0 0.1 0.2 0.3\n1 4.0 5.0 6.0 0 0 0\n")
     xyz = load_kf_poses(str(p))
     np.testing.assert_array_equal(xyz, [[1, 2, 3], [4, 5, 6]])
+
+
+def _distort_frames(frames, fx, fy, cx, cy, k1):
+    """Synthesize raw-camera captures: for each DISTORTED pixel, Newton-invert
+    the radial model to find the ideal ray and sample the clean render there."""
+    h, w = frames[0][0].shape
+    us, vs = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    xd = (us - cx) / fx
+    yd = (vs - cy) / fy
+    x, y = xd.copy(), yd.copy()
+    for _ in range(10):
+        rad = 1.0 + k1 * (x * x + y * y)
+        x, y = xd / rad, yd / rad
+    mu = np.clip(x * fx + cx, 0, w - 1.001)
+    mv = np.clip(y * fy + cy, 0, h - 1.001)
+    u0 = np.floor(mu).astype(np.int64); v0 = np.floor(mv).astype(np.int64)
+    fu = mu - u0; fv = mv - v0
+
+    def warp(img):
+        img = np.asarray(img, np.float64)
+        return (img[v0, u0] * (1 - fv) * (1 - fu)
+                + img[v0, np.minimum(u0 + 1, w - 1)] * (1 - fv) * fu
+                + img[np.minimum(v0 + 1, h - 1), u0] * fv * (1 - fu)
+                + img[np.minimum(v0 + 1, h - 1), np.minimum(u0 + 1, w - 1)]
+                * fv * fu).astype(np.float32)
+
+    return [(warp(l), warp(r)) for (l, r) in frames]
+
+
+def test_rectify_wired_into_pipeline(rng):
+    """RECTIFY stage wiring (≙ stereo-vo rectification for
+    rectified_images=false rigs): a distorted-camera sequence breaks the
+    unrectified pipeline's trajectory; with the undistortion maps built from
+    the configured dist coefficients it matches the clean-camera baseline."""
+    from srba_slam_tpu.config import (GeneralOptions, SRBAStereoSLAMOptions,
+                                      VOOptions)
+    from srba_slam_tpu.models.estimator import SRBAStereoSLAMEstimator
+    from srba_slam_tpu.utils.camera import StereoCamera
+    from srba_slam_tpu.utils.framesource import SyntheticSource
+
+    cam = StereoCamera(
+        fx_l=180.0, fy_l=180.0, cx_l=160.0, cy_l=100.0,
+        fx_r=180.0, fy_r=180.0, cx_r=160.0, cy_r=100.0,
+        baseline=0.54, width=320, height=200,
+    )
+    src = SyntheticSource(cam, n_frames=12, seed=11, step=0.12)
+    clean = list(src)
+    k1 = -0.22
+    distorted = _distort_frames(clean, cam.fx_l, cam.fy_l, cam.cx_l,
+                                cam.cy_l, k1)
+    gt = src.gt_poses
+
+    def run(frames, rectify):
+        opts = SRBAStereoSLAMOptions(
+            camera=cam, n_feats=256, detect_fast_th=12,
+            adaptive_th_min_matches=40, max_translation=0.5,
+            max_rotation=10.0, updated_matches_th=40, vo_id_tracking_th=30,
+            srba_submap_size=5, srba_max_optimize_depth=3,
+            da_filter_by_direction=False, residual_th=10.0,
+            camera_dist_l=[k1, 0, 0, 0, 0] if rectify else [0.0] * 5,
+            camera_dist_r=[k1, 0, 0, 0, 0] if rectify else [0.0] * 5,
+        )
+        vo = VOOptions(fast_th=12, n_feats=256,
+                       rectified_images=not rectify)
+        est = SRBAStereoSLAMEstimator(GeneralOptions(), opts, vo,
+                                      capacity=256, max_kfs=32)
+        est.initialize()
+        log = est.perform_stereo_slam(frames)
+        est.finalize()
+        kf_frames = [r.frame_idx for r in log if r.inserted_kf is not None]
+        err = ate_rmse(est.final_poses_cam[:, 3:], gt[kf_frames][:, 3:],
+                       align=True)
+        return est, err
+
+    est_clean, ate_clean = run(clean, rectify=False)
+    assert est_clean.vo.rect_maps is None
+    est_rect, ate_rect = run(distorted, rectify=True)
+    assert est_rect.vo.rect_maps is not None
+    est_raw, ate_raw = run(distorted, rectify=False)
+
+    assert ate_clean < 0.05, ate_clean
+    # rectified pipeline on distorted input recovers the clean baseline
+    assert ate_rect < max(2.5 * ate_clean, 0.06), (ate_rect, ate_clean)
+    # running distorted pixels unrectified visibly damages the trajectory
+    assert ate_raw > 2.0 * ate_rect, (ate_raw, ate_rect)
