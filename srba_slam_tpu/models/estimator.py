@@ -505,31 +505,45 @@ class SRBAStereoSLAMEstimator:
         """BoW query -> similar KFs -> DA -> LC confirm -> possible insertion.
         Returns the inserted keyframe's match IDs, or None if no KF was
         inserted."""
-        import time as _time
-
-        from srba_slam_tpu.models.data_association import query_and_associate
-
         # ONE dispatch runs the BoW query AND the DA cascade against the
         # candidate superset {prev KF} ∪ top-4; ONE bulk transfer pulls the
         # results plus everything a possible insertion needs from the frame
         # (per-op round-trips are expensive through the tunneled runtime)
+        handles = self._kf_check_dispatch(frame)
+        with self.profiler.section("performDA"):
+            pend = self.rba.pending_device_arrays()
+            pulled = jax.device_get(handles + pend)
+            if pend:
+                self.rba.commit_pending(pulled[len(handles):])
+        return self._kf_check_host(pulled[: len(handles)], frame, res,
+                                   force_new_kf)
+
+    def _da_seed_poses(self) -> jax.Array | None:
+        """Per-stored-KF rough relative poses wrt the new KF, from the
+        (possibly one-solve-stale) spanning tree of the previous KF
+        (≙ similar_kfs_poses, reference .cpp:1840-1868): seeds for the DA
+        change-in-pose solves. Unreachable KFs keep the identity seed, like
+        the reference's default-constructed CPose3D."""
+        if self.opts.da_stage2_method not in (2, 3):
+            return None
+        prev_kf = self.store.n_kfs - 1
+        incr_inv = se3_np.inverse(self.incr_from_last_kf)
+        init = np.zeros((self.max_kfs, 6), np.float32)
+        tree = self.rba.spanning_tree(
+            prev_kf, self.opts.srba_max_tree_depth, allow_stale=True)
+        for k, (_h, pose) in tree.items():
+            init[k] = se3_np.compose(incr_inv, pose)
+        return jnp.asarray(init)
+
+    def _kf_check_dispatch(self, frame) -> tuple:
+        """Dispatch the fused BoW-query + DA-cascade program for one frame;
+        returns the flat tuple of device arrays the host logic needs (pull
+        them in ONE transfer, then call :meth:`_kf_check_host`)."""
+        from srba_slam_tpu.models.data_association import query_and_associate
+
         m = self.opts.da_stage2_method
         self._da_key, sub = jax.random.split(self._da_key)
-        init_poses = None
-        if m in (2, 3):
-            # rough relative poses of every stored KF wrt the new KF, from
-            # the (possibly one-solve-stale) spanning tree of the previous KF
-            # (≙ similar_kfs_poses, reference .cpp:1840-1868): seed the DA
-            # change-in-pose solves. Unreachable KFs keep the identity seed,
-            # like the reference's default-constructed CPose3D.
-            prev_kf = self.store.n_kfs - 1
-            incr_inv = se3_np.inverse(self.incr_from_last_kf)
-            init = np.zeros((self.max_kfs, 6), np.float32)
-            tree = self.rba.spanning_tree(
-                prev_kf, self.opts.srba_max_tree_depth, allow_stale=True)
-            for k, (_h, pose) in tree.items():
-                init[k] = se3_np.compose(incr_inv, pose)
-            init_poses = jnp.asarray(init)
+        init_poses = self._da_seed_poses()
         with self.profiler.section("queryDB"):
             top_s, top_i, cand, da = query_and_associate(
                 frame, self.store.arrays, self.bow._db,
@@ -544,17 +558,19 @@ class SRBAStereoSLAMEstimator:
                 use_change_pose=m in (2, 3),
                 kernel_param=self.vo_opts.kernel_param,
             )
-        with self.profiler.section("performDA"):
-            pend = self.rba.pending_device_arrays()
-            pulled = jax.device_get(
-                (top_s, top_i, da.status, da.other_idx, da.tracked_count,
-                 frame.m_valid, frame.xs_l, frame.ys_l, frame.xs_r,
-                 frame.m_r_idx, frame.pts3d) + pend
-            )
-            (scores, ids, da_status_all, da_oidx_all, tracked_all, f_m_valid,
-             f_xs_l, f_ys_l, f_xs_r, f_m_r, f_pts) = pulled[:11]
-            if pend:
-                self.rba.commit_pending(pulled[11:])
+        return (top_s, top_i, da.status, da.other_idx, da.tracked_count,
+                frame.m_valid, frame.xs_l, frame.ys_l, frame.xs_r,
+                frame.m_r_idx, frame.pts3d)
+
+    def _kf_check_host(self, pulled: tuple, frame, res: StepResult,
+                       force_new_kf: bool):
+        """Host half of the keyframe check: similar-KF selection, LC
+        confirmation, insertion decision and the insertion itself. ``pulled``
+        is the host copy of :meth:`_kf_check_dispatch`'s tuple."""
+        import time as _time
+
+        (scores, ids, da_status_all, da_oidx_all, tracked_all, f_m_valid,
+         f_xs_l, f_ys_l, f_xs_r, f_m_r, f_pts) = pulled
         with self.profiler.section("get_similar_kfs"):
             similar, lc_candidate = self._get_similar_kfs(scores, ids)
         if scores[0] < 0.05:

@@ -55,3 +55,65 @@ def test_feature_budget_sweep():
     # a larger budget finds at least as many matches
     assert res[1].mean_stereo_matches >= res[0].mean_stereo_matches
     assert res[0].trajectory.shape == (5, 6)
+
+
+def _fleet_estimator(cam, n_feats=128, voc=None):
+    from srba_slam_tpu.config import (GeneralOptions, SRBAStereoSLAMOptions,
+                                      VOOptions)
+    from srba_slam_tpu.models.estimator import SRBAStereoSLAMEstimator
+
+    opts = SRBAStereoSLAMOptions(
+        camera=cam, n_feats=n_feats, detect_fast_th=12,
+        adaptive_th_min_matches=30, max_translation=0.5, max_rotation=10.0,
+        updated_matches_th=30, vo_id_tracking_th=25, srba_submap_size=5,
+        srba_max_optimize_depth=3, da_filter_by_direction=False,
+        residual_th=10.0,
+    )
+    est = SRBAStereoSLAMEstimator(
+        GeneralOptions(), opts, VOOptions(fast_th=12, n_feats=n_feats),
+        capacity=128, max_kfs=32,
+    )
+    est.initialize(vocabulary=voc)
+    return est
+
+
+def test_fleet_matches_sequential_runs(rng):
+    """Full-pipeline multi-sequence mode: S sequences advanced in lockstep
+    with sharded VO + sharded BoW/DA must reproduce the per-sequence
+    estimator runs exactly (same keyframe counts, same trajectories)."""
+    from srba_slam_tpu.models.bow import Vocabulary
+    from srba_slam_tpu.parallel.fleet import FleetSLAM
+
+    cam = small_cam()
+    n_frames = 14
+    # two different sequences (different seeds -> different scenes/motion)
+    sources = [
+        list(SyntheticSource(cam, n_frames=n_frames, seed=s, step=0.12))
+        for s in (11, 23)
+    ]
+    desc = rng.integers(0, 2**32, (512, 8), dtype=np.uint64).astype(np.uint32)
+    voc = Vocabulary.train(desc, k=8, L=2, seed=0)
+
+    # sequential reference runs
+    seq_ests = [_fleet_estimator(cam, voc=voc) for _ in sources]
+    for est, frames in zip(seq_ests, sources):
+        est.perform_stereo_slam(frames)
+
+    # fleet run over the 8-virtual-device mesh (2 sequences -> 2-device mesh)
+    fleet_ests = [_fleet_estimator(cam, voc=voc) for _ in sources]
+    fleet = FleetSLAM(fleet_ests)
+    fleet.run(sources)
+
+    for seq, flt in zip(seq_ests, fleet_ests):
+        assert flt.store.n_kfs == seq.store.n_kfs, (
+            flt.store.n_kfs, seq.store.n_kfs)
+        flt.rba.flush()
+        seq.rba.flush()
+        # vmapped vs single-program XLA fusion differs in f32 rounding, so
+        # poses agree to millimeters, not bits
+        np.testing.assert_allclose(
+            flt.rba.kf_global[: flt.store.n_kfs],
+            seq.rba.kf_global[: seq.store.n_kfs], atol=5e-3)
+        # same landmark bookkeeping
+        assert flt.rba.n_lms == seq.rba.n_lms
+        assert flt.rba.n_edges == seq.rba.n_edges
