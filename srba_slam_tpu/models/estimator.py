@@ -592,29 +592,37 @@ class SRBAStereoSLAMEstimator:
         best = int(tracked[order[0]]) if len(order) else 0
         res.best_tracked = best
 
-        # LC confirmation (≙ .cpp:482-521)
+        # LC confirmation (≙ .cpp:483-545): a CONFIRMED loop closure forces
+        # the insertion; an unconfirmed potential LC neither inserts (beyond
+        # voForceNewKf) nor shrinks thresholds; the no-potential-LC branch
+        # inserts below updated_matches_th or shrinks the dynamic thresholds
+        # from the TRACKED-FEATURE surplus (.cpp:525-541)
         lc_confirmed = None
+        insert = force_new_kf
         with self.profiler.section("confirmLC"):
             if lc_candidate is not None:
                 lc_pos = similar.index(lc_candidate)
-                if tracked[lc_pos] > 0.5 * max(best, 1):
+                if tracked[lc_pos] > 0.5 * best:
                     lc_confirmed = lc_candidate
+                    insert = True
                     order = np.concatenate(
                         [[lc_pos], [o for o in order if o != lc_pos]]
                     ).astype(int)
-
-        insert = force_new_kf or best < self.opts.updated_matches_th
+            else:
+                if best < self.opts.updated_matches_th:
+                    insert = True
+                elif best <= self.opts.updated_matches_th + \
+                        self.opts.up_matches_th_plus:
+                    olimit = (self.opts.updated_matches_th
+                              + self.opts.up_matches_th_plus)
+                    self.updated_translation_th = update_translation_threshold(
+                        best - self.opts.updated_matches_th,
+                        self.opts.up_matches_th_plus,
+                    )
+                    self.updated_rotation_th = update_rotation_threshold(
+                        best, olimit
+                    )
         if not insert:
-            if best < self.opts.updated_matches_th + self.opts.up_matches_th_plus:
-                # shrink the dynamic thresholds (≙ .cpp:524-541)
-                t = float(np.linalg.norm(self.incr_from_last_kf[3:]))
-                r = np.rad2deg(np.linalg.norm(self.incr_from_last_kf[:3]))
-                self.updated_translation_th = update_translation_threshold(
-                    t, self.opts.max_translation
-                )
-                self.updated_rotation_th = update_rotation_threshold(
-                    r, self.opts.max_rotation
-                )
             return None
 
         # ----- INSERT NEW KF (≙ .cpp:563-924)

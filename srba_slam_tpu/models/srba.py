@@ -226,7 +226,64 @@ class SRBAEngine:
         return 1 << 30
 
     # --------------------------------------------------- edge creation policy
-    def _edge_creation_policy(self, kf: int, obs_lm_idx: np.ndarray) -> list:
+    def _geometric_edge_seed(self, u: int, kf: int, obs_lm_idx: np.ndarray,
+                             obs_pts: np.ndarray | None):
+        """Initial pose for a long-range (loop-closure) edge u -> kf from the
+        SHARED landmark geometry instead of the drift-accumulated globals.
+
+        ≙ the reference's ``has_approx_init_val = false`` on loop-closure
+        edges (srba-stereo-slam.h:279-281): SRBA estimates those initial
+        relative poses from the observations. Here: Horn/Umeyama 3D-3D
+        alignment between the common landmarks' positions in u's frame
+        (composed along the spanning tree from their base KFs) and the new
+        KF's triangulated observations of them, with one outlier-trim pass.
+        Returns the edge pose T_uv (pose of kf in u's frame) or None when
+        the geometry is too thin; callers fall back to the global-pose seed.
+        A drift-consistent seed encodes no loop information — the robust
+        kernel then treats the true loop residuals as outliers and the loop
+        never closes."""
+        if obs_pts is None or len(obs_lm_idx) < 8:
+            return None
+        bases = self.lm_base[obs_lm_idx]
+        mask = (bases != kf) & np.isfinite(obs_pts).all(axis=1)
+        # restrict to landmarks of u's OWN area: mixing in recent-chain
+        # landmarks (placed via the drifted odometry tree) makes the two
+        # point sets disagree by exactly the loop drift and the fit rejects
+        base_centers = np.where(self.localmap_center[bases] >= 0,
+                                self.localmap_center[bases], bases)
+        own_area = mask & (base_centers == u)
+        if own_area.sum() >= 8:
+            mask = own_area
+        if mask.sum() < 8:
+            return None
+        tree = self.spanning_tree(u)
+        li = obs_lm_idx[mask]
+        q = obs_pts[mask]
+        p_u = np.zeros_like(q)
+        ok = np.zeros(len(li), bool)
+        for j, (lm, base) in enumerate(zip(li, bases[mask])):
+            ent = tree.get(int(base))
+            if ent is None:
+                continue
+            p_u[j] = se3_np.transform_point(ent[1], self.lm_pos[lm])
+            ok[j] = True
+        if ok.sum() < 8:
+            return None
+        from srba_slam_tpu.utils.evaluation import align_se3
+
+        p_sel, q_sel = p_u[ok], q[ok]
+        R, t = align_se3(q_sel, p_sel)          # R q + t ~ p
+        res = np.linalg.norm(q_sel @ R.T + t - p_sel, axis=1)
+        keep = res <= max(3.0 * np.median(res), 1e-6)
+        if keep.sum() >= 8:
+            R, t = align_se3(q_sel[keep], p_sel[keep])
+            res = np.linalg.norm(q_sel[keep] @ R.T + t - p_sel[keep], axis=1)
+        if np.median(res) > 1.0:  # meters — geometry didn't agree
+            return None
+        return se3_np.log(R, t)
+
+    def _edge_creation_policy(self, kf: int, obs_lm_idx: np.ndarray,
+                              obs_pts: np.ndarray | None = None) -> list:
         """≙ mySRBA::edge_creation_policy (srba-stereo-slam.h:144-308)."""
         p = self.p
         created = []
@@ -236,15 +293,26 @@ class SRBAEngine:
         def seed(u, v):
             return se3_np.relative(self.kf_global[v], self.kf_global[u])
 
+        def lc_seed(u, v):
+            g = self._geometric_edge_seed(u, v, obs_lm_idx, obs_pts)
+            return g if g is not None else seed(u, v)
+
         if not is_base:
             # mid-submap: single edge to the current localmap center
             self.localmap_center[kf] = cur_center
             created.append(self._add_edge(cur_center, kf, seed(cur_center, kf)))
         else:
-            # new submap base: vote observations per existing localmap center
+            # new submap base: vote observations per existing localmap
+            # center. Only landmarks with an EXISTING base keyframe vote —
+            # in the reference, edges are created before the new KF's fresh
+            # landmarks are initialized, so they have no base to count
+            # (srba-stereo-slam.h:221 make_ordered_list_base_kfs); counting
+            # them here would self-vote kf and isolate it behind a self-edge.
             self.localmap_center[kf] = kf
-            if len(obs_lm_idx):
-                bases = self.lm_base[obs_lm_idx]
+            bases = self.lm_base[obs_lm_idx] if len(obs_lm_idx) else \
+                np.zeros(0, np.int32)
+            bases = bases[bases != kf]
+            if len(bases):
                 centers = self.localmap_center[bases]
                 centers = np.where(centers >= 0, centers, bases)
                 counts = np.bincount(centers)
@@ -253,15 +321,22 @@ class SRBAEngine:
             else:
                 prev_c = int(self.localmap_center[kf - 1])
                 ranked = [(prev_c if prev_c >= 0 else kf - 1, 1)]
+            # every base-KF area edge is estimated from the shared
+            # observations (≙ has_approx_init_val=false on all edges of the
+            # base branch, srba-stereo-slam.h:279-294) — the top-voted area
+            # can be a far loop-closure target, where a drift-consistent
+            # seed would hide the loop
             top_center = ranked[0][0]
-            created.append(self._add_edge(top_center, kf, seed(top_center, kf)))
+            created.append(
+                self._add_edge(top_center, kf, lc_seed(top_center, kf)))
             # extra edges: far-away well-supported areas => loop-closure edges
             for center, n in ranked[1:]:
                 if n < p.min_obs_to_loop_closure:
                     continue
                 if self.topo_distance(kf, center, p.max_optimize_depth + 1) \
                         >= p.max_optimize_depth:
-                    created.append(self._add_edge(center, kf, seed(center, kf)))
+                    created.append(
+                        self._add_edge(center, kf, lc_seed(center, kf)))
         # explicit LC edge requested by the estimator's confirmation stage
         if self._lc_detected and self._lc_old_id is not None:
             target = int(self.localmap_center[self._lc_old_id])
@@ -270,7 +345,7 @@ class SRBAEngine:
             have = {int(self._edge_u[e]) for e in created} | \
                    {int(self._edge_v[e]) for e in created}
             if target not in have and target != kf:
-                created.append(self._add_edge(target, kf, seed(target, kf)))
+                created.append(self._add_edge(target, kf, lc_seed(target, kf)))
         self._lc_detected = False
         self._lc_old_id = None
         return created
@@ -305,7 +380,8 @@ class SRBAEngine:
         lm_ids, px, rel_pos = _obs_as_arrays(observations)
         obs_lm_idx = self._register_observations(kf, lm_ids, px, rel_pos)
 
-        created = [] if kf == 0 else self._edge_creation_policy(kf, obs_lm_idx)
+        created = [] if kf == 0 else self._edge_creation_policy(
+            kf, obs_lm_idx, rel_pos)
 
         if not run_opt or kf == 0:
             return NewKFInfo(kf, created, 0.0, 0.0, 0.0, 1, len(obs_lm_idx))
@@ -403,6 +479,7 @@ class SRBAEngine:
         # compiled program than loop-closure-sized ones; at most three
         # programs ever compile
         buckets = [
+            (min(8, p.win_cams), min(1024, p.win_lms), min(2048, p.win_obs)),
             (min(16, p.win_cams), min(2048, p.win_lms), min(4096, p.win_obs)),
             (min(16, p.win_cams), min(4096, p.win_lms), min(8192, p.win_obs)),
             (p.win_cams, p.win_lms, p.win_obs),
@@ -413,8 +490,13 @@ class SRBAEngine:
         win_arr = np.asarray(win_kfs)
         cam_pose = np.zeros((C, 6), np.float32)
         cam_valid = np.zeros(C, bool)
-        cam_pose[: len(win_kfs)] = se3_np.relative_batch(
-            self.kf_global[win_arr], self.kf_global[root][None])
+        # initialize window poses ALONG THE SPANNING TREE from the root (the
+        # relative SRBA parameterization), not from global-pose differences:
+        # a freshly created loop-closure edge with a geometric seed places
+        # the far area correctly relative to the root, so the BA starts near
+        # the reconciled geometry instead of the drifted one (where the
+        # robust kernel would discard the true loop residuals as outliers)
+        cam_pose[: len(win_kfs)] = np.stack([tree[k][1] for k in win_kfs])
         cam_valid[: len(win_kfs)] = True
         lm_pos = np.zeros((L, 3), np.float32)
         lm_base_loc = np.zeros(L, np.int32)

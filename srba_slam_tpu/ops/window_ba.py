@@ -231,20 +231,76 @@ def _optimize_window_impl(
 
     cost0 = cost_of(win.cam_pose, win.lm_pos)
 
-    # loop-invariant one-hot selectors (hoisted out of the LM loop): all
-    # block sums below are MXU matmul contractions over the O axis instead of
-    # scatter-adds (TPU scatters with duplicate indices serialize; they
-    # dominated insertion time at 100-350 ms)
+    # Backend-adaptive block assembly: on TPU, scatter-adds with duplicate
+    # indices serialize (they dominated insertion time at 100-350 ms), so
+    # the sums run as one-hot MXU matmul contractions over the O axis; on
+    # CPU the matmul FLOPs (O x L x C*18 per iteration) dwarf a cheap
+    # scatter-add, so the scatter path wins by an order of magnitude.
     L_n = win.lm_pos.shape[0]
     cam_a_h = win.obs_cam
     cam_b_h = win.lm_base[win.obs_lm]
     lm_i_h = win.obs_lm
-    oh_a = (cam_a_h[:, None] == jnp.arange(C)[None, :]).astype(jnp.float32)
-    oh_b = (cam_b_h[:, None] == jnp.arange(C)[None, :]).astype(jnp.float32)
-    oh_l = (lm_i_h[:, None] == jnp.arange(L_n)[None, :]).astype(jnp.float32)
-    oh_lT = oh_l.T
-    oh_a, oh_b, oh_l, oh_lT = jax.lax.optimization_barrier(
-        (oh_a, oh_b, oh_l, oh_lT))
+    use_onehot = jax.default_backend() != "cpu"
+    if use_onehot:
+        # loop-invariant one-hot selectors (hoisted out of the LM loop)
+        oh_a = (cam_a_h[:, None] == jnp.arange(C)[None, :]).astype(jnp.float32)
+        oh_b = (cam_b_h[:, None] == jnp.arange(C)[None, :]).astype(jnp.float32)
+        oh_l = (lm_i_h[:, None] == jnp.arange(L_n)[None, :]).astype(jnp.float32)
+        oh_lT = oh_l.T
+        oh_a, oh_b, oh_lT = jax.lax.optimization_barrier(
+            (oh_a, oh_b, oh_lT))
+
+    def _assemble(r, wJA, wJB, wJC, JA, JB, JC):
+        """(g_c [C,6], g_l [L,3], Hcc [C*C,6,6], Hcl [C,L,6,3], Hll [L,3,3])."""
+        rA = jnp.einsum("oij,oi->oj", wJA, r, precision=_HI)   # [O,6]
+        rB = jnp.einsum("oij,oi->oj", wJB, r, precision=_HI)
+        rC = jnp.einsum("oij,oi->oj", wJC, r, precision=_HI)   # [O,3]
+        aa = jnp.einsum("oij,oik->ojk", wJA, JA, precision=_HI)
+        bb = jnp.einsum("oij,oik->ojk", wJB, JB, precision=_HI)
+        ab = jnp.einsum("oij,oik->ojk", wJA, JB, precision=_HI)
+        ac = jnp.einsum("oij,oik->ojk", wJA, JC, precision=_HI)
+        bc = jnp.einsum("oij,oik->ojk", wJB, JC, precision=_HI)
+        cc = jnp.einsum("oij,oik->ojk", wJC, JC, precision=_HI)
+        if use_onehot:
+            g_c = (
+                jnp.einsum("oc,oj->cj", oh_a, rA, precision=_HI)
+                + jnp.einsum("oc,oj->cj", oh_b, rB, precision=_HI)
+            )
+            g_l = _split_matmul(oh_lT, rC)
+            Hcc = (
+                jnp.einsum("oc,od,om->cdm", oh_a, oh_a,
+                           aa.reshape(-1, 36), precision=_HI)
+                + jnp.einsum("oc,od,om->cdm", oh_b, oh_b,
+                             bb.reshape(-1, 36), precision=_HI)
+            ).reshape(C, C, 6, 6)
+            Hab = jnp.einsum("oc,od,om->cdm", oh_a, oh_b,
+                             ab.reshape(-1, 36), precision=_HI
+                             ).reshape(C, C, 6, 6)
+            Hcc = Hcc + Hab + jnp.swapaxes(Hab.transpose(1, 0, 2, 3), -1, -2)
+            Hcc = Hcc.reshape(C * C, 6, 6)
+            # the O x L contraction is the FLOP-heavy one — run it as a
+            # single [L, O] x [O, C*18] split-bf16 matmul
+            acm = (oh_a[:, :, None] * ac.reshape(-1, 1, 18)
+                   + oh_b[:, :, None] * bc.reshape(-1, 1, 18)
+                   ).reshape(-1, C * 18)
+            Hcl = _split_matmul(oh_lT, acm).reshape(L_n, C, 6, 3)
+            Hcl = jnp.swapaxes(Hcl, 0, 1)
+            Hll = _split_matmul(oh_lT, cc.reshape(-1, 9)).reshape(L_n, 3, 3)
+        else:
+            g_c = jnp.zeros((C, 6), jnp.float32)
+            g_c = g_c.at[cam_a_h].add(rA).at[cam_b_h].add(rB)
+            g_l = jnp.zeros((L_n, 3), jnp.float32).at[lm_i_h].add(rC)
+            Hcc = jnp.zeros((C * C, 6, 6), jnp.float32)
+            Hcc = Hcc.at[cam_a_h * C + cam_a_h].add(aa)
+            Hcc = Hcc.at[cam_b_h * C + cam_b_h].add(bb)
+            Hcc = Hcc.at[cam_a_h * C + cam_b_h].add(ab)
+            Hcc = Hcc.at[cam_b_h * C + cam_a_h].add(jnp.swapaxes(ab, -1, -2))
+            Hcl = jnp.zeros((C * L_n, 6, 3), jnp.float32)
+            Hcl = Hcl.at[cam_a_h * L_n + lm_i_h].add(ac)
+            Hcl = Hcl.at[cam_b_h * L_n + lm_i_h].add(bc)
+            Hcl = Hcl.reshape(C, L_n, 6, 3)
+            Hll = jnp.zeros((L_n, 3, 3), jnp.float32).at[lm_i_h].add(cc)
+        return g_c, g_l, Hcc, Hcl, Hll
 
     def lm_step(cam_pose, lm_pos, lam):
         r, x, X, Rc, Q_R = _project_residuals(
@@ -273,41 +329,7 @@ def _optimize_window_impl(
         wJB = JB * w[:, None, None]
         wJC = JC * w[:, None, None]
 
-        # gradient
-        rA = jnp.einsum("oij,oi->oj", wJA, r, precision=_HI)   # [O,6]
-        rB = jnp.einsum("oij,oi->oj", wJB, r, precision=_HI)
-        rC = jnp.einsum("oij,oi->oj", wJC, r, precision=_HI)   # [O,3]
-        g_c = (
-            jnp.einsum("oc,oj->cj", oh_a, rA, precision=_HI)
-            + jnp.einsum("oc,oj->cj", oh_b, rB, precision=_HI)
-        )
-        g_l = _split_matmul(oh_lT, rC)                         # [L,3]
-
-        # H_cc blocks [C, C, 6, 6]
-        aa = jnp.einsum("oij,oik->ojk", wJA, JA, precision=_HI).reshape(-1, 36)
-        bb = jnp.einsum("oij,oik->ojk", wJB, JB, precision=_HI).reshape(-1, 36)
-        ab = jnp.einsum("oij,oik->ojk", wJA, JB, precision=_HI).reshape(-1, 36)
-        Hcc = (
-            jnp.einsum("oc,od,om->cdm", oh_a, oh_a, aa, precision=_HI)
-            + jnp.einsum("oc,od,om->cdm", oh_b, oh_b, bb, precision=_HI)
-        ).reshape(C, C, 6, 6)
-        Hab = jnp.einsum("oc,od,om->cdm", oh_a, oh_b, ab,
-                         precision=_HI).reshape(C, C, 6, 6)
-        Hcc = Hcc + Hab + jnp.swapaxes(Hab.transpose(1, 0, 2, 3), -1, -2)
-        Hcc = Hcc.reshape(C * C, 6, 6)
-
-        # H_cl blocks [C, L, 6, 3]: the O x L contraction is the FLOP-heavy
-        # one — run it as a single [L, O] x [O, C*18] split-bf16 matmul
-        ac = jnp.einsum("oij,oik->ojk", wJA, JC, precision=_HI).reshape(-1, 18)
-        bc = jnp.einsum("oij,oik->ojk", wJB, JC, precision=_HI).reshape(-1, 18)
-        acm = (oh_a[:, :, None] * ac[:, None, :]
-               + oh_b[:, :, None] * bc[:, None, :]).reshape(-1, C * 18)
-        Hcl = _split_matmul(oh_lT, acm).reshape(L_n, C, 6, 3)
-        Hcl = jnp.swapaxes(Hcl, 0, 1)                          # [C, L, 6, 3]
-
-        # H_ll diag blocks [L,3,3]
-        cc = jnp.einsum("oij,oik->ojk", wJC, JC, precision=_HI).reshape(-1, 9)
-        Hll = _split_matmul(oh_lT, cc).reshape(L_n, 3, 3)
+        g_c, g_l, Hcc, Hcl, Hll = _assemble(r, wJA, wJB, wJC, JA, JB, JC)
         # LM damping + keep padded landmarks fully determined
         Hll = Hll + (lam + 1e-6) * jnp.eye(3)[None]
         Hll = jnp.where(lm_w[:, None, None] > 0, Hll, jnp.eye(3)[None])

@@ -85,12 +85,25 @@ class SyntheticSource:
         )
         rng = np.random.default_rng(seed + 1)
         poses = [np.zeros(6)]
-        for i in range(n_frames - 1):
-            inc = np.array([
-                rng.normal(0, 0.002), 0.006 * np.sin(i / 5), rng.normal(0, 0.002),
-                0.03 * np.cos(i / 7), rng.normal(0, 0.004), step,
-            ])
-            poses.append(se3_np.compose(poses[-1], inc))
+        if loop:
+            # closed circuit: constant yaw rate closes the circle after ~80%
+            # of the frames, so the tail revisits the start (loop-closure
+            # territory); tiny noise keeps the geometry non-degenerate
+            yaw_rate = 2.0 * np.pi / (0.8 * n_frames)
+            for i in range(n_frames - 1):
+                inc = np.array([
+                    rng.normal(0, 0.001), yaw_rate, rng.normal(0, 0.001),
+                    rng.normal(0, 0.002), rng.normal(0, 0.002), step,
+                ])
+                poses.append(se3_np.compose(poses[-1], inc))
+        else:
+            for i in range(n_frames - 1):
+                inc = np.array([
+                    rng.normal(0, 0.002), 0.006 * np.sin(i / 5),
+                    rng.normal(0, 0.002),
+                    0.03 * np.cos(i / 7), rng.normal(0, 0.004), step,
+                ])
+                poses.append(se3_np.compose(poses[-1], inc))
         self.gt_poses = np.stack(poses)
 
     def __iter__(self):

@@ -15,29 +15,49 @@ import jax.numpy as jnp
 
 
 def smooth_texture(rng, h=2048, w=2048, spacing=48, sigma=6.0):
-    """Field of Gaussian blobs with graded random amplitudes on a dark floor.
+    """Multi-scale field of anisotropic Gaussian blobs on a dark floor.
 
-    Gives FAST corners with well-separated, persistent scores — the detector's
-    top-K selection is then repeatable across small viewpoint changes, like on
-    natural images (smooth noise textures produce thousands of near-tied weak
-    corners and pathological selection churn).
+    Gives FAST corners with well-separated, persistent scores — the
+    detector's top-K selection is then repeatable across small viewpoint
+    changes, like on natural images (smooth noise textures produce thousands
+    of near-tied weak corners and pathological selection churn). Three blob
+    octaves + random elongation/orientation make each corner's BRIEF
+    neighborhood spatially unique: a single-scale lattice of symmetric blobs
+    produces near-identical descriptors everywhere, and that translation
+    symmetry aliases inter-keyframe matching and fakes/breaks loop closures.
     """
     tex = np.full((h, w), 20.0, np.float32)
-    rad = int(3 * sigma)
-    lo = rad + spacing // 2
-    ys = np.arange(lo, h - lo, spacing)
-    xs = np.arange(lo, w - lo, spacing)
-    win = np.arange(-rad, rad + 1)
-    gy, gx = np.meshgrid(win, win, indexing="ij")
-    for y0 in ys:
-        for x0 in xs:
-            cy = y0 + rng.uniform(-spacing / 3, spacing / 3)
-            cx = x0 + rng.uniform(-spacing / 3, spacing / 3)
-            amp = rng.uniform(40.0, 235.0)
-            iy, ix = int(round(cy)), int(round(cx))
-            fy, fx = cy - iy, cx - ix
-            blob = amp * np.exp(-((gy - fy) ** 2 + (gx - fx) ** 2) / (2 * sigma**2))
-            tex[iy - rad : iy + rad + 1, ix - rad : ix + rad + 1] += blob.astype(np.float32)
+
+    def stamp_layer(spacing_l, sigma_l, amp_lo, amp_hi, signed=False):
+        rad = int(3 * sigma_l)
+        lo = rad + spacing_l // 2
+        win = np.arange(-rad, rad + 1)
+        gy, gx = np.meshgrid(win, win, indexing="ij")
+        for y0 in np.arange(lo, h - lo, spacing_l):
+            for x0 in np.arange(lo, w - lo, spacing_l):
+                cy = y0 + rng.uniform(-spacing_l / 3, spacing_l / 3)
+                cx = x0 + rng.uniform(-spacing_l / 3, spacing_l / 3)
+                amp = rng.uniform(amp_lo, amp_hi)
+                if signed and rng.uniform() < 0.5:
+                    amp = -amp
+                iy, ix = int(round(cy)), int(round(cx))
+                fy, fx = cy - iy, cx - ix
+                sx = sigma_l * rng.uniform(0.55, 1.5)
+                sy = sigma_l * rng.uniform(0.55, 1.5)
+                th = rng.uniform(0.0, np.pi)
+                ct, st = np.cos(th), np.sin(th)
+                u = ct * (gx - fx) + st * (gy - fy)
+                v = -st * (gx - fx) + ct * (gy - fy)
+                blob = amp * np.exp(-(u**2 / sx**2 + v**2 / sy**2) / 2)
+                tex[iy - rad : iy + rad + 1, ix - rad : ix + rad + 1] += \
+                    blob.astype(np.float32)
+
+    # coarse backdrop octaves (signed: bright and dark patches) give every
+    # fine corner a unique large-scale context; the fine layer provides the
+    # actual FAST corners
+    stamp_layer(spacing * 4, sigma * 4, 25.0, 60.0, signed=True)
+    stamp_layer(spacing * 2, sigma * 2, 20.0, 50.0, signed=True)
+    stamp_layer(spacing, sigma, 40.0, 235.0)
     return np.clip(tex, 0.0, 255.0)
 
 
