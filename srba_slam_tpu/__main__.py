@@ -54,6 +54,20 @@ def main(argv=None):
 
     if args.synthetic:
         source = SyntheticSource(est.cam, n_frames=args.synthetic, step=0.5)
+    elif est.general.cap_src == "rawlog" or (
+            est.general.rawlog_file and est.general.cap_src != "image_dir"):
+        # ≙ the reference's CCameraSensor rawlog grabber
+        # (src/CSRBAStereoSLAMEstimator.cpp:1194-1197, srba-stereo-slam_utils.h:96-101).
+        # The MRPT binary rawlog format is not supported in this build —
+        # reject loudly instead of silently ignoring the config key.
+        print(
+            "[srba_slam_tpu] error: grabber_type=rawlog is not supported "
+            f"(rawlog_file={est.general.rawlog_file!r}); export the rawlog "
+            "to an image directory (e.g. mrpt's rawlog-edit "
+            "--externalize/--extract-images) and use grabber_type=image_dir",
+            file=sys.stderr,
+        )
+        return 2
     else:
         try:
             from srba_slam_tpu.native.loader import NativeImageDirSource

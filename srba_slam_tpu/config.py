@@ -166,6 +166,7 @@ class SRBAStereoSLAMOptions:
     max_y_diff_epipolar: float = 1.5
     ransac_fit_prob: float = 0.95
     residual_th: float = 50.0
+    query_score_th: float = 0.04    # "lost camera?" warning floor (utils.h:256)
     da_filter_by_direction: bool = True
     # stereo matching (VO MATCH section mirrors)
     max_y_diff: float = 2.0
@@ -212,6 +213,7 @@ class SRBAStereoSLAMOptions:
         o.max_y_diff_epipolar = cfg.read_float(s, "max_y_diff_epipolar", o.max_y_diff_epipolar)
         o.ransac_fit_prob = cfg.read_float(s, "ransac_fit_prob", o.ransac_fit_prob)
         o.residual_th = cfg.read_float(s, "residual_th", o.residual_th)
+        o.query_score_th = cfg.read_float(s, "query_score_th", o.query_score_th)
         o.da_filter_by_direction = cfg.read_bool(s, "da_filter_by_direction", o.da_filter_by_direction)
         s = "SRBA_KF_CREATION"
         o.max_rotation = cfg.read_float(s, "max_rotation", o.max_rotation)

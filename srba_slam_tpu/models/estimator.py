@@ -131,6 +131,7 @@ class SRBAStereoSLAMEstimator:
         self.store = KeyframeStore(max_kfs=self.max_kfs, capacity=self.capacity)
         from srba_slam_tpu.utils.stats import VerboseLogger
 
+        self.log = VerboseLogger(self.general.verbose_level)
         self.rba = SRBAEngine(
             self.cam,
             SRBAParams(
@@ -176,6 +177,7 @@ class SRBAStereoSLAMEstimator:
         self.kf_stats: list[TStatsSRBA] = []
         self.step_log: list[StepResult] = []
         self._da_key = jax.random.PRNGKey(7)
+        self.query_log: list = []  # (frame_idx, scores, ids) per KF check
         from srba_slam_tpu.utils.debug_dumps import DebugDumper
 
         self.debug = DebugDumper(
@@ -287,10 +289,19 @@ class SRBAStereoSLAMEstimator:
             rect_maps=eng.rect_maps,
         )
         return dict(outs=outs, last_feat=last_feat, last_inc=last_inc,
-                    b=lefts.shape[0])
+                    b=lefts.shape[0], lefts=lefts, rights=rights,
+                    prev_feat=prev_feat, prev_inc=prev_inc)
 
     def _process_scan(self, disp: dict):
-        """Pull one dispatched batch and run the per-frame keyframe logic."""
+        """Pull one dispatched batch and run the per-frame keyframe logic.
+
+        Implements the adaptive-threshold retry protocol at batch
+        granularity (≙ reference .cpp:271-315): if a frame's stereo matches
+        fall below ``adaptive_th_min_matches`` and a threshold can still
+        move, the detector thresholds are adjusted and the batch TAIL from
+        that frame on is re-dispatched and re-processed at the new
+        thresholds — the same frames the per-frame mode would re-process
+        with the ``repeat`` request."""
         b = disp["b"]
         eng = self.vo
         last_feat, last_inc = disp["last_feat"], disp["last_inc"]
@@ -308,18 +319,80 @@ class SRBAStereoSLAMEstimator:
         if pend:
             self.rba.commit_pending(pulled[7:])
 
+        th = self.opts.adaptive_th_min_matches
+        n_per = m_valid.sum(axis=1)
+        retry_j = None
+        if not eng.is_fast_th_min() or not eng.is_orb_th_max():
+            below = np.nonzero(n_per < th)[0]
+            if len(below):
+                retry_j = int(below[0])
+
+        if retry_j is not None:
+            # frames before the first sub-threshold frame are committed as-is
+            self._process_frames(feats, track_idx, track_valid, m_valid,
+                                 poses, pose_valid, 0, retry_j)
+            if not eng.is_fast_th_min():
+                eng.set_fast_threshold(eng.fast_th - 10)
+            else:
+                eng.set_orb_threshold(eng.orb_th + 10)
+            # chain state at the retry point: last processed frame's
+            # features (device slice) and its pose increment
+            if retry_j > 0:
+                chain_feat = _slice_frame(feats, jnp.int32(retry_j - 1))
+                inc = self.vo._last_pose_inc
+                for jj in range(retry_j):
+                    if bool(pose_valid[jj]):
+                        inc = poses[jj].astype(np.float32)
+                chain = {"last_feat": chain_feat,
+                         "last_inc": jnp.asarray(inc, jnp.float32)}
+            else:
+                chain = {"last_feat": disp["prev_feat"],
+                         "last_inc": disp["prev_inc"]}
+            tail = self._dispatch_scan(
+                np.asarray(disp["lefts"])[retry_j:],
+                np.asarray(disp["rights"])[retry_j:], chain=chain)
+            self._process_scan(tail)  # may retry again at lower thresholds
+            # propagate the tail's chain end so a prefetched next batch is
+            # re-dispatched from the correct state
+            disp["last_feat"] = tail["last_feat"]
+            disp["last_inc"] = tail["last_inc"]
+            return
+
+        prev_ids = self._process_frames(feats, track_idx, track_valid,
+                                        m_valid, poses, pose_valid, 0, b)
+
+        # sync the VO engine to the end of the batch
+        eng._prev = last_feat
+        eng._prev_ids = prev_ids
+        eng._cur = last_feat
+        eng._cur_ids = prev_ids
+        eng._last_pose_inc = np.asarray(last_inc_h, np.float32)
+
+        # healthy-threshold drift (≙ the post-retry adjustments of
+        # .cpp:271-314, applied at batch granularity)
+        min_matches = int(n_per.min()) if b else self.capacity
+        if min_matches < 1.2 * th:
+            eng.set_fast_threshold(eng.fast_th - 5)
+        else:
+            if eng.fast_th < eng.fast_th_max:
+                eng.set_fast_threshold(eng.fast_th + 5)
+            eng.reset_orb_threshold()
+
+    def _process_frames(self, feats, track_idx, track_valid, m_valid, poses,
+                        pose_valid, j0: int, j1: int) -> np.ndarray:
+        """Per-frame keyframe logic for batch frames [j0, j1); returns the
+        last frame's match IDs (also written to the engine)."""
+        eng = self.vo
         prev_ids = eng._prev_ids
         kf_ids_arr = (
             np.fromiter(eng._kf_id_set, np.int64)
             if eng._kf_id_set else np.zeros(0, np.int64)
         )
-        min_matches = self.capacity
-        for j in range(b):
+        for j in range(j0, j1):
             self.frame_idx += 1
             res = StepResult(self.frame_idx)
             self.step_log.append(res)
             n_matches = int(m_valid[j].sum())
-            min_matches = min(min_matches, n_matches)
             if not bool(pose_valid[j]) or n_matches < 8:
                 # skip frame; the tracking reference still advances
                 prev_ids = np.full(self.capacity, -1, np.int64)
@@ -359,28 +432,8 @@ class SRBAStereoSLAMEstimator:
                     kf_ids_arr = new_ids[new_ids >= 0]
                     eng._kf_id_set = set(int(i) for i in kf_ids_arr)
             prev_ids = cur_ids
-
-        # sync the VO engine to the end of the batch
-        eng._prev = last_feat
         eng._prev_ids = prev_ids
-        eng._cur = last_feat
-        eng._cur_ids = prev_ids
-        eng._last_pose_inc = np.asarray(last_inc_h, np.float32)
-
-        # adaptive thresholds, batch-lagged (≙ the retry protocol, applied to
-        # the NEXT batch instead of re-processing)
-        th = self.opts.adaptive_th_min_matches
-        if min_matches < th:
-            if not eng.is_fast_th_min():
-                eng.set_fast_threshold(eng.fast_th - 10)
-            elif not eng.is_orb_th_max():
-                eng.set_orb_threshold(eng.orb_th + 10)
-        elif min_matches < 1.2 * th:
-            eng.set_fast_threshold(eng.fast_th - 5)
-        else:
-            if eng.fast_th < eng.fast_th_max:
-                eng.set_fast_threshold(eng.fast_th + 5)
-            eng.reset_orb_threshold()
+        return prev_ids
 
     # ----------------------------------------------------------------- step
     def step(self, left: np.ndarray, right: np.ndarray) -> StepResult:
@@ -571,6 +624,12 @@ class SRBAStereoSLAMEstimator:
 
         (scores, ids, da_status_all, da_oidx_all, tracked_all, f_m_valid,
          f_xs_l, f_ys_l, f_xs_r, f_m_r, f_pts) = pulled
+        self.query_log.append((res.frame_idx, np.asarray(scores).copy(),
+                               np.asarray(ids).copy()))
+        if len(scores) and scores[0] < self.opts.query_score_th:
+            # ≙ the "Lost camera?" warning (reference .cpp:1748-1751)
+            self.log(1, "Best BoW query score below query_score_th — "
+                        "lost camera?")
         with self.profiler.section("get_similar_kfs"):
             similar, lc_candidate = self._get_similar_kfs(scores, ids)
         if scores[0] < 0.05:
@@ -881,9 +940,19 @@ class SRBAStereoSLAMEstimator:
                 # headless stand-in for the live 3D window (≙ show3D)
                 from srba_slam_tpu.utils.viz import render_map_png
 
+                q_scores = None
+                if self.query_log:
+                    # last check's ranked scores placed at their KF ids
+                    _f, sc, qids = self.query_log[-1]
+                    q_scores = np.zeros(self.store.n_kfs)
+                    for s_, i_ in zip(sc, qids):
+                        if 0 <= int(i_) < len(q_scores):
+                            q_scores[int(i_)] = s_
                 render_map_png(
                     os.path.join(out_dir, "final_global_path.png"),
                     self.final_poses, np.asarray(lms) if lms else None,
+                    query_scores=q_scores,
+                    query_score_th=self.opts.query_score_th,
                 )
         return self.final_poses
 

@@ -13,9 +13,10 @@ import numpy as np
 
 
 def render_map_png(path: str, poses: np.ndarray, landmarks=None,
-                   gt_poses=None, query_scores=None):
+                   gt_poses=None, query_scores=None, query_score_th=None):
     """Top-down (x-z) map: trajectory, landmarks, optional ground truth and
-    the latest BoW query-score bars (≙ show_kf_numbers)."""
+    the latest BoW query-score bars with the 'lost camera?' threshold line
+    (≙ show_kf_numbers, reference utils.cpp:101-151)."""
     try:
         import matplotlib
         matplotlib.use("Agg")
@@ -41,7 +42,11 @@ def render_map_png(path: str, poses: np.ndarray, landmarks=None,
     ax.set_title("srba_slam_tpu map (top-down)")
     if query_scores is not None:
         axes[1].bar(range(len(query_scores)), query_scores, color="#4477aa")
-        axes[1].set_title("BoW query scores")
+        if query_score_th is not None:
+            axes[1].axhline(query_score_th, color="#cc3311", lw=1.2,
+                            label=f"query_score_th={query_score_th}")
+            axes[1].legend(loc="best", fontsize=8)
+        axes[1].set_title("BoW query scores (last keyframe check)")
         axes[1].set_xlabel("keyframe id")
     fig.tight_layout()
     fig.savefig(path, dpi=110)

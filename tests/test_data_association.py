@@ -155,3 +155,44 @@ def test_change_pose_seeding_recovers_large_viewpoint_lc(rng):
     assert int(zero.tracked_count[0]) == 0 and not bool(zero.pose_valid[0])
     assert int(seeded.tracked_count[0]) > 50 and bool(seeded.pose_valid[0])
     np.testing.assert_allclose(np.asarray(seeded.pose[0]), pose_oth, atol=0.02)
+
+
+def test_direction_filter_helps_on_pan_motion(rng):
+    """Filter 1 (direction histogram, ≙ .cpp:1883-1946): under pan-dominant
+    motion the true matches share one displacement direction; decoy features
+    whose descriptors collide with far-away features produce random
+    directions and must fall to S_REJ_SLOPE while the uniform set survives."""
+    from srba_slam_tpu.models.data_association import S_REJ_SLOPE
+
+    n = 90
+    pts = np.stack([rng.uniform(-8, 8, n), rng.uniform(-2, 2, n),
+                    rng.uniform(10, 30, n)], -1)
+    desc = jnp.asarray(
+        rng.integers(0, 2**32, (K, 8), dtype=np.uint64).astype(np.uint32))
+    kf_other = _make_kf(rng, np.zeros(6), pts, desc)
+    # pan (yaw) motion: nearly uniform horizontal pixel displacement
+    pan = np.array([0.0, np.deg2rad(3.0), 0.0, 0.0, 0.0, 0.0])
+    kf_cur = _make_kf(rng, pan, pts, desc)
+    # corrupt 25 current descriptors to duplicate OTHER features' descriptors
+    # (descriptor collisions -> geometrically wrong matches, random direction)
+    d = np.asarray(kf_cur.desc_l).copy()
+    victims = np.arange(25)
+    d[victims] = np.asarray(desc)[(victims + 40) % n]
+    kf_cur = kf_cur._replace(desc_l=jnp.asarray(d))
+    store = _store_with([kf_other])
+
+    on = da_cascade(kf_cur, store.arrays, jnp.asarray([0]), jnp.asarray([True]),
+                    CAM, jax.random.PRNGKey(0), filter_by_direction=True,
+                    use_fund_matrix=False, use_change_pose=False)
+    off = da_cascade(kf_cur, store.arrays, jnp.asarray([0]), jnp.asarray([True]),
+                     CAM, jax.random.PRNGKey(0), filter_by_direction=False,
+                     use_fund_matrix=False, use_change_pose=False)
+    st_on = np.asarray(on.status[0])
+    st_off = np.asarray(off.status[0])
+    # wrong-direction decoys rejected by the slope filter
+    assert (st_on[victims] == S_REJ_SLOPE).sum() > 15, st_on[victims]
+    # uniform-direction true matches survive
+    assert int(on.tracked_count[0]) > 50
+    # without the filter the decoys' zero-distance collisions survive as
+    # (geometrically wrong) tracked matches
+    assert (st_off[victims] == S_TRACKED).sum() > 15, st_off[victims]
