@@ -99,12 +99,15 @@ def extract_and_match(
     ``rectified_images=false`` rigs): the undistortion remap fuses into this
     same compiled program.
     """
+    # cast on-chip: hosts upload native 8-bit frames (tunnel bandwidth)
+    left = left.astype(jnp.float32)
+    right = right.astype(jnp.float32)
     if rect_maps is not None:
         from srba_slam_tpu.ops.rectify import remap_bilinear
 
         left = remap_bilinear(left, rect_maps[0])
         right = remap_bilinear(right, rect_maps[1])
-    imgs = jnp.stack([left.astype(jnp.float32), right.astype(jnp.float32)])
+    imgs = jnp.stack([left, right])
     # budget split across octaves, capped by each octave's grid-cell count
     # (lax.top_k over fewer cells than k would fail at trace time); any
     # deficit from capped deep octaves flows back to octave 0

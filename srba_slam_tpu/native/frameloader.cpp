@@ -29,12 +29,12 @@ struct Frame {
   int index = -1;
   int width = 0;
   int height = 0;
-  std::vector<float> left;   // grayscale 0..255
-  std::vector<float> right;
+  std::vector<uint8_t> left;   // grayscale 0..255
+  std::vector<uint8_t> right;
   bool ok = false;
 };
 
-bool decode_png_gray(const char* path, std::vector<float>* out, int* w, int* h) {
+bool decode_png_gray(const char* path, std::vector<uint8_t>* out, int* w, int* h) {
   FILE* fp = std::fopen(path, "rb");
   if (!fp) return false;
   png_byte header[8];
@@ -68,8 +68,8 @@ bool decode_png_gray(const char* path, std::vector<float>* out, int* w, int* h) 
   out->resize(static_cast<size_t>(width) * height);
   for (png_uint_32 y = 0; y < height; ++y) {
     png_read_row(png, row.data(), nullptr);
-    float* dst = out->data() + static_cast<size_t>(y) * width;
-    for (png_uint_32 x = 0; x < width; ++x) dst[x] = static_cast<float>(row[x]);
+    std::memcpy(out->data() + static_cast<size_t>(y) * width, row.data(),
+                width);
   }
   png_destroy_read_struct(&png, &info, nullptr);
   std::fclose(fp);
@@ -78,7 +78,7 @@ bool decode_png_gray(const char* path, std::vector<float>* out, int* w, int* h) 
   return true;
 }
 
-bool decode_pgm(const char* path, std::vector<float>* out, int* w, int* h) {
+bool decode_pgm(const char* path, std::vector<uint8_t>* out, int* w, int* h) {
   FILE* fp = std::fopen(path, "rb");
   if (!fp) return false;
   char magic[3] = {0};
@@ -95,14 +95,13 @@ bool decode_pgm(const char* path, std::vector<float>* out, int* w, int* h) {
     return false;
   }
   std::fclose(fp);
-  out->resize(buf.size());
-  for (size_t i = 0; i < buf.size(); ++i) (*out)[i] = static_cast<float>(buf[i]);
+  *out = std::move(buf);
   *w = width;
   *h = height;
   return true;
 }
 
-bool decode_any(const std::string& path, std::vector<float>* out, int* w, int* h) {
+bool decode_any(const std::string& path, std::vector<uint8_t>* out, int* w, int* h) {
   if (path.size() >= 4 && path.compare(path.size() - 4, 4, ".pgm") == 0)
     return decode_pgm(path.c_str(), out, w, h);
   return decode_png_gray(path.c_str(), out, w, h);
@@ -207,13 +206,14 @@ int fl_next(void* handle, int* index, int* width, int* height) {
   return 1;
 }
 
-void fl_copy(void* handle, float* left_out, float* right_out) {
+// Frames are handed to Python as native 8-bit grayscale (device programs
+// cast on-chip; keeping the host copy at 1 byte/px quarters upload bytes
+// through bandwidth-limited tunneled runtimes).
+void fl_copy(void* handle, uint8_t* left_out, uint8_t* right_out) {
   (void)handle;
   if (!pending_) return;
-  std::memcpy(left_out, pending_->left.data(),
-              pending_->left.size() * sizeof(float));
-  std::memcpy(right_out, pending_->right.data(),
-              pending_->right.size() * sizeof(float));
+  std::memcpy(left_out, pending_->left.data(), pending_->left.size());
+  std::memcpy(right_out, pending_->right.data(), pending_->right.size());
   pending_.reset();
 }
 

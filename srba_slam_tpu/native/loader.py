@@ -34,8 +34,8 @@ def _load():
                             ctypes.POINTER(ctypes.c_int),
                             ctypes.POINTER(ctypes.c_int)]
     lib.fl_copy.argtypes = [ctypes.c_void_p,
-                            ctypes.POINTER(ctypes.c_float),
-                            ctypes.POINTER(ctypes.c_float)]
+                            ctypes.POINTER(ctypes.c_uint8),
+                            ctypes.POINTER(ctypes.c_uint8)]
     lib.fl_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -70,12 +70,12 @@ class NativeImageDirSource:
             w = ctypes.c_int()
             hh = ctypes.c_int()
             while lib.fl_next(h, ctypes.byref(idx), ctypes.byref(w), ctypes.byref(hh)):
-                left = np.empty((hh.value, w.value), np.float32)
-                right = np.empty((hh.value, w.value), np.float32)
+                left = np.empty((hh.value, w.value), np.uint8)
+                right = np.empty((hh.value, w.value), np.uint8)
                 lib.fl_copy(
                     h,
-                    left.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                    right.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    left.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    right.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 )
                 yield left, right
         finally:

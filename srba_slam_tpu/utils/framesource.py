@@ -23,13 +23,13 @@ from srba_slam_tpu.config import GeneralOptions
 
 
 def _load_gray(path: str) -> np.ndarray:
+    """Grayscale frame in its native 8-bit dtype (uploads are bandwidth-
+    limited through tunneled runtimes; device programs cast on-chip)."""
     if path.endswith(".npy"):
-        img = np.load(path)
-    else:
-        from PIL import Image
+        return np.load(path)
+    from PIL import Image
 
-        img = np.asarray(Image.open(path).convert("L"))
-    return img.astype(np.float32)
+    return np.asarray(Image.open(path).convert("L"))
 
 
 @dataclass
@@ -70,7 +70,8 @@ class SyntheticSource:
     """
 
     def __init__(self, cam, n_frames: int = 100, seed: int = 11,
-                 step: float = 0.12, loop: bool = False, scene: str = "auto"):
+                 step: float = 0.12, loop: bool = False, scene: str = "auto",
+                 laps: float = 1.25):
         from srba_slam_tpu.utils.synthworld import PlaneScene
         from srba_slam_tpu.utils import se3_np
 
@@ -86,10 +87,12 @@ class SyntheticSource:
         rng = np.random.default_rng(seed + 1)
         poses = [np.zeros(6)]
         if loop:
-            # closed circuit: constant yaw rate closes the circle after ~80%
-            # of the frames, so the tail revisits the start (loop-closure
-            # territory); tiny noise keeps the geometry non-degenerate
-            yaw_rate = 2.0 * np.pi / (0.8 * n_frames)
+            # closed circuit: constant yaw rate completes ``laps`` circles
+            # over the sequence (default 1.25: one lap + 25% revisit, the
+            # loop-closure territory); laps >= 2 revisits every spot twice,
+            # exercising repeated loop-closure events. Tiny noise keeps the
+            # geometry non-degenerate.
+            yaw_rate = 2.0 * np.pi * laps / n_frames
             for i in range(n_frames - 1):
                 inc = np.array([
                     rng.normal(0, 0.001), yaw_rate, rng.normal(0, 0.001),

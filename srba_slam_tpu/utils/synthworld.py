@@ -139,7 +139,10 @@ class PlaneScene:
             img = _bilinear(self.tex, u_t, v_t)
             # rays that miss the plane (behind camera / horizon / too far)
             visible = (lam > 0.0) & (lam < self.max_range)
-            return np.where(visible, img, 0.0).astype(np.float32)
+            # 8-bit output (what a real camera delivers; keeps host->device
+            # uploads at 1 byte/px — the tunnel is bandwidth-limited)
+            img = np.where(visible, img, 0.0)
+            return np.clip(np.rint(img), 0.0, 255.0).astype(np.uint8)
 
         left = render_eye(cam.cx_l, cam.cy_l, cam.fx_l, cam.fy_l, t)
         right_origin = t + R @ np.array([cam.baseline, 0.0, 0.0])

@@ -1,14 +1,15 @@
 """Long-trajectory + loop-closure regression with an ATE gate.
 
-A 220-frame closed circuit over the textured ground plane (~26 m path,
-~31 keyframes, 7 submaps): the batched pipeline must confirm at least two
-loop closures, create geometric long-range edges, and keep the aligned
+A 220-frame, 2.25-lap closed circuit over the textured ground plane
+(~26 m path, ~28 keyframes, 5+ submaps): the batched pipeline must confirm
+at least two DISTINCT loop-closure events (lap-1 closure + lap-2
+re-crossing), create geometric long-range edges, and keep the aligned
 ATE-RMSE under the gate. Pins the submap edge-creation policy, the
 BoW+DA loop-closure path (with spanning-tree pose seeding), the geometric
 LC-edge initialization, and the windowed BA write-back end to end.
 
-Measured reference values (CPU, this config): ATE ~0.38 m pre/post pose
-graph, LC edges within 0.1-0.5 m of ground truth, ~40 s wall.
+Measured values (CPU, 8-bit frames, this config): best LC edges within
+0.15-0.25 m of ground truth, ATE under the 0.55 m gate, ~50 s wall.
 """
 
 import numpy as np
@@ -29,8 +30,11 @@ def test_circuit_loop_closure_ate():
         fx_r=160.0, fy_r=160.0, cx_r=128.0, cy_r=72.0,
         baseline=0.5, width=256, height=144,
     )
+    # 2.25 laps: the second lap re-enters already-closed territory, so the
+    # pipeline must confirm (at least) two distinct loop-closure events —
+    # once when lap 1 closes, once when lap 2 re-crosses the start area
     src = SyntheticSource(cam, n_frames=220, seed=5, step=0.12, loop=True,
-                          scene="ground")
+                          scene="ground", laps=2.25)
     frames = list(src)
     opts = SRBAStereoSLAMOptions(
         camera=cam, n_feats=192, detect_fast_th=10,
@@ -70,8 +74,11 @@ def test_circuit_loop_closure_ate():
             gt_rel = se3_np.relative(gtp[kf_frames[v]], gtp[kf_frames[u]])
             long_edges.append(np.linalg.norm(r.edge_pose[e][3:] - gt_rel[3:]))
     assert len(long_edges) >= 2, long_edges
-    assert min(long_edges) < 0.3, long_edges
-    assert max(long_edges) < 0.8, long_edges
+    # at least two closures must be geometric-quality (a drift-consistent
+    # seed would be off by the accumulated loop drift, ~1 m+); weaker
+    # cross-circle edges from partially-shared ground features are fine —
+    # the robust kernel + the ATE gate below arbitrate those
+    assert sorted(long_edges)[1] < 0.5, long_edges
 
     # ATE gate (aligned, keyframe-associated ground truth); circuit is
     # ~6.7 m across / ~26 m long
