@@ -64,6 +64,57 @@ class DAResult(NamedTuple):
     mean_residual: jax.Array  # f32 [S]
 
 
+def _horn_seed(p_oth: jax.Array, p_cur: jax.Array, w0: jax.Array,
+               fallback: jax.Array, min_pts: int = 8):
+    """Robust 3D-3D alignment seed for the change-in-pose solve.
+
+    Fits R p_oth + t ≈ p_cur (Kabsch over the masked correspondences, one
+    median-residual trim pass) and returns the SE(3) seed, or ``fallback``
+    when the geometry is too thin. This plays the role of the reference's
+    rough spanning-tree relative poses fed to getChangeInPose as
+    ``initialPoseVector`` (reference src/CSRBAStereoSLAMEstimator.cpp:
+    1840-1868, :2133-2147) — but is derived on device from the same
+    correspondences the solve uses, so it needs no host graph state, lands
+    in the right basin even under large viewpoint change, and is identical
+    in per-frame and batched modes.
+    """
+    from srba_slam_tpu.utils import se3
+
+    finite = jnp.isfinite(p_oth).all(-1) & jnp.isfinite(p_cur).all(-1)
+    no = jnp.linalg.norm(p_oth, axis=-1)
+    nc = jnp.linalg.norm(p_cur, axis=-1)
+    # magnitude gates only (no positivity assumption on either frame);
+    # zeroed/degenerate triangulations and far outliers drop out, the
+    # median-trim pass below handles the rest
+    near = (no > 1e-6) & (nc > 1e-6) & (no < 1e4) & (nc < 1e4)
+    base = w0 & finite & near
+
+    def fit(w):
+        wf = w.astype(jnp.float32)
+        n = jnp.sum(wf)
+        nz = jnp.maximum(n, 1.0)
+        co = jnp.sum(p_oth * wf[:, None], axis=0) / nz
+        cp = jnp.sum(p_cur * wf[:, None], axis=0) / nz
+        H = ((p_oth - co) * wf[:, None]).T @ (p_cur - cp)
+        U, _S, Vt = jnp.linalg.svd(H)
+        d = jnp.linalg.det(Vt.T @ U.T)
+        R = Vt.T @ jnp.diag(jnp.stack([1.0, 1.0, d])) @ U.T
+        t = cp - R @ co
+        return R, t, n
+
+    R, t, n = fit(base)
+    res = jnp.linalg.norm(p_oth @ R.T + t - p_cur, axis=-1)
+    # masked median residual (sorted with invalid pushed to +inf)
+    res_sorted = jnp.sort(jnp.where(base, res, jnp.inf))
+    med = res_sorted[jnp.clip((n.astype(jnp.int32) - 1) // 2, 0,
+                              res.shape[0] - 1)]
+    keep2 = base & (res <= jnp.maximum(3.0 * med, 0.5))
+    R, t, n2 = fit(keep2)
+    pose = se3.log(R, t)
+    ok = (n2 >= min_pts) & jnp.isfinite(pose).all()
+    return jnp.where(ok, pose, fallback)
+
+
 def _direction_filter(keep, cur_y, cur_x, oth_y, oth_x, oidx):
     """Mode-bin direction histogram (36 bins of 10 degrees), mode ±1 kept."""
     dy = cur_y.astype(jnp.float32) - oth_y[oidx].astype(jnp.float32)
@@ -149,14 +200,17 @@ def _da_single(
             [cur.xs_l.astype(jnp.float32), cur.ys_l.astype(jnp.float32), ur],
             axis=-1,
         )
-        # initial pose = rough relative pose of the candidate KF wrt the new
-        # KF from the spanning tree (≙ initialPoseVector at reference
-        # .cpp:2133-2147 / similar_kfs_poses at :1840-1868): for loop-closure
-        # candidates with large viewpoint change a zero start can converge to
-        # the wrong basin and reject a true loop closure
+        # initial pose: robust on-device Horn 3D-3D alignment over the
+        # surviving correspondences (≙ the role of initialPoseVector at
+        # reference .cpp:2133-2147 / similar_kfs_poses at :1840-1868): for
+        # loop-closure candidates with large viewpoint change a zero start
+        # converges to the wrong basin and rejects a true loop closure.
+        # ``init_pose`` (explicit caller seed) is the fallback when the
+        # 3D-3D geometry is too thin.
+        seed = _horn_seed(opts3d[oidx], cur.pts3d, keep, init_pose)
         sol = solve_pose(
             opts3d[oidx], obs, keep, cam,
-            initial_pose=init_pose,
+            initial_pose=seed,
             kernel_param=kernel_param,
             residual_threshold=residual_th,
             min_inliers=min_alive,

@@ -571,38 +571,24 @@ class SRBAStereoSLAMEstimator:
         return self._kf_check_host(pulled[: len(handles)], frame, res,
                                    force_new_kf)
 
-    def _da_seed_poses(self) -> jax.Array | None:
-        """Per-stored-KF rough relative poses wrt the new KF, from the
-        (possibly one-solve-stale) spanning tree of the previous KF
-        (≙ similar_kfs_poses, reference .cpp:1840-1868): seeds for the DA
-        change-in-pose solves. Unreachable KFs keep the identity seed, like
-        the reference's default-constructed CPose3D."""
-        if self.opts.da_stage2_method not in (2, 3):
-            return None
-        prev_kf = self.store.n_kfs - 1
-        incr_inv = se3_np.inverse(self.incr_from_last_kf)
-        init = np.zeros((self.max_kfs, 6), np.float32)
-        tree = self.rba.spanning_tree(
-            prev_kf, self.opts.srba_max_tree_depth, allow_stale=True)
-        for k, (_h, pose) in tree.items():
-            init[k] = se3_np.compose(incr_inv, pose)
-        return jnp.asarray(init)
-
     def _kf_check_dispatch(self, frame) -> tuple:
         """Dispatch the fused BoW-query + DA-cascade program for one frame;
         returns the flat tuple of device arrays the host logic needs (pull
-        them in ONE transfer, then call :meth:`_kf_check_host`)."""
+        them in ONE transfer, then call :meth:`_kf_check_host`).
+
+        The DA change-in-pose solves seed themselves on device (Horn 3D-3D
+        alignment inside the cascade, ≙ the role of the spanning-tree
+        initialPoseVector at reference .cpp:1840-1868/:2133-2147) — no host
+        graph state rides along."""
         from srba_slam_tpu.models.data_association import query_and_associate
 
         m = self.opts.da_stage2_method
         self._da_key, sub = jax.random.split(self._da_key)
-        init_poses = self._da_seed_poses()
         with self.profiler.section("queryDB"):
             top_s, top_i, cand, da = query_and_associate(
                 frame, self.store.arrays, self.bow._db,
                 self.bow._leaf_bits, self.bow._weights,
                 jnp.int32(self.store.n_kfs), self.cam, sub,
-                init_poses=init_poses,
                 max_orb_distance_da=self.opts.max_orb_distance_da,
                 residual_th=self.opts.residual_th,
                 max_y_diff_epipolar=self.opts.max_y_diff_epipolar,

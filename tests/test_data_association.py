@@ -124,11 +124,14 @@ def test_orb_distance_filter_status(rng):
 
 
 def test_change_pose_seeding_recovers_large_viewpoint_lc(rng):
-    """Filter-4 pose seeding (≙ initialPoseVector, reference .cpp:1840-1868 +
-    :2133-2147): under a large viewpoint change the zero-initialized
-    change-in-pose solve converges to the wrong basin and rejects everything;
-    seeding with the rough spanning-tree relative pose recovers the loop
-    closure."""
+    """Filter-4 pose seeding (≙ the role of initialPoseVector, reference
+    .cpp:1840-1868 + :2133-2147): under a large viewpoint change the
+    zero-initialized change-in-pose solve converges to the wrong basin and
+    rejects everything. The cascade seeds itself with an on-device Horn
+    3D-3D alignment over the surviving correspondences, so the loop closure
+    is recovered with NO host graph state at all."""
+    from srba_slam_tpu.models.data_association import _horn_seed
+
     n = 100
     pts = np.stack([rng.uniform(-10, 10, n), rng.uniform(-2, 2, n),
                     rng.uniform(8, 35, n)], -1)
@@ -140,21 +143,33 @@ def test_change_pose_seeding_recovers_large_viewpoint_lc(rng):
     kf_oth = _make_kf(rng, pose_oth, pts, desc)
     kf_cur = _make_kf(rng, np.zeros(6), pts, desc)
     store = _store_with([kf_oth])
-    # T maps candidate-KF points into the current frame:
-    # inv(pose_cur) ∘ pose_oth = pose_oth here; perturb like a rough seed
-    seed = jnp.asarray(pose_oth + rng.normal(0, 0.05, 6),
-                       jnp.float32)[None]
 
-    zero = da_cascade(kf_cur, store.arrays, jnp.asarray([0]),
+    # the raw solve from a zero start lands in the wrong basin: the Horn
+    # seed is what recovers it (checked on the full cascade below)
+    from srba_slam_tpu.ops.robust_lm import solve_pose
+
+    ur = kf_cur.xs_r[kf_cur.m_r_idx].astype(jnp.float32)
+    obs = jnp.stack([kf_cur.xs_l.astype(jnp.float32),
+                     kf_cur.ys_l.astype(jnp.float32), ur], -1)
+    oth_pts = store.arrays.pts3d[0]
+    zero_sol = solve_pose(oth_pts, obs, kf_cur.m_valid, CAM,
+                          initial_pose=jnp.zeros(6, jnp.float32),
+                          residual_threshold=5.0, min_inliers=15)
+    assert not bool(zero_sol.valid)
+
+    # full cascade with NO explicit seed: the built-in Horn seed recovers it
+    auto = da_cascade(kf_cur, store.arrays, jnp.asarray([0]),
                       jnp.asarray([True]), CAM, jax.random.PRNGKey(0),
                       use_fund_matrix=False, residual_th=5.0)
-    seeded = da_cascade(kf_cur, store.arrays, jnp.asarray([0]),
-                        jnp.asarray([True]), CAM, jax.random.PRNGKey(0),
-                        init_poses=seed, use_fund_matrix=False,
-                        residual_th=5.0)
-    assert int(zero.tracked_count[0]) == 0 and not bool(zero.pose_valid[0])
-    assert int(seeded.tracked_count[0]) > 50 and bool(seeded.pose_valid[0])
-    np.testing.assert_allclose(np.asarray(seeded.pose[0]), pose_oth, atol=0.02)
+    assert int(auto.tracked_count[0]) > 50 and bool(auto.pose_valid[0])
+    np.testing.assert_allclose(np.asarray(auto.pose[0]), pose_oth, atol=0.02)
+
+    # thin geometry falls back to the caller-provided seed
+    w_thin = jnp.zeros(K, bool).at[:4].set(True)
+    fb = jnp.asarray([1.0, 2, 3, 4, 5, 6], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(_horn_seed(oth_pts, kf_cur.pts3d, w_thin, fb)),
+        np.asarray(fb))
 
 
 def test_direction_filter_helps_on_pan_motion(rng):
