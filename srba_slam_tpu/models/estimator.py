@@ -838,7 +838,7 @@ class SRBAStereoSLAMEstimator:
         except Exception:
             return
         try:
-            self.rba._pending = None  # the failed solve is not committable
+            self.rba._pending = []  # failed/in-flight solves are not committable
             self.finalize(out_dir=out_dir)
         except Exception:
             # minimal fallback: raw graph + unoptimized trajectory

@@ -125,9 +125,15 @@ class SRBAEngine:
         self.localmap_center = np.full(self.p.max_kfs, -1, np.int32)
         # lazy=True defers window-solve pulls until flush()/commit_pending()
         # (the estimator merges them into its next bulk transfer); lazy=False
-        # keeps the synchronous contract: results land before returning
+        # keeps the synchronous contract: results land before returning.
+        # Multiple solves may be in flight at once (an ordered queue): a new
+        # insertion no longer forces the previous solve to land, so
+        # back-to-back insertions cost zero host round-trips. Queued solves
+        # dispatch their windows from the host mirror as of dispatch time
+        # (one-to-a-few commits stale) — the BA re-optimizes the whole window
+        # from its spanning-tree init, so staleness only moves the LM start.
         self.lazy = lazy
-        self._pending: dict | None = None
+        self._pending: list[dict] = []
 
     # ------------------------------------------------------------------ hooks
     def loop_closure_detected(self, flag: bool = True):
@@ -256,7 +262,7 @@ class SRBAEngine:
             mask = own_area
         if mask.sum() < 8:
             return None
-        tree = self.spanning_tree(u)
+        tree = self.spanning_tree(u, allow_stale=True)
         li = obs_lm_idx[mask]
         q = obs_pts[mask]
         p_u = np.zeros_like(q)
@@ -359,8 +365,11 @@ class SRBAEngine:
         685-728 — or a pre-vectorized tuple of arrays
         ``(lm_ids [N], px [N, 3], rel_pos [N, 3])`` (rows with non-finite
         rel_pos fall back to the default initialization).
+
+        Does NOT force earlier queued window solves to land — insertions
+        chain from the host mirror and the solves commit whenever the owner
+        next pulls (see the latency model in the class docstring).
         """
-        self.flush()
         kf = self.n_kfs
         assert kf < self.p.max_kfs
         self.n_kfs += 1
@@ -440,7 +449,7 @@ class SRBAEngine:
         """Build the ≤max_optimize_depth window, dispatch the BA program, and
         defer the result pull (see the module docstring's latency model)."""
         p = self.p
-        tree = self.spanning_tree(root, p.max_optimize_depth)
+        tree = self.spanning_tree(root, p.max_optimize_depth, allow_stale=True)
         # nearest-first, capped at the static capacity
         win_kfs = sorted(tree.keys(), key=lambda k: (tree[k][0], -k))[: p.win_cams]
         assert win_kfs[0] == root
@@ -533,7 +542,7 @@ class SRBAEngine:
             pending=True,
             truncated_obs=n_dropped,
         )
-        self._pending = dict(
+        self._pending.append(dict(
             root=root,
             res=res,
             win_arr=win_arr,
@@ -541,28 +550,37 @@ class SRBAEngine:
             lms=lms,
             info=info,
             old_root_global=self.kf_global[root].copy(),
-        )
+        ))
         return info
 
     def pending_device_arrays(self) -> tuple:
-        """Device arrays of the in-flight window solve, for merging into the
-        caller's next bulk device_get (empty tuple when nothing is pending)."""
-        if self._pending is None:
-            return ()
-        r = self._pending["res"]
-        return (r.cam_pose, r.lm_pos, r.cost_init, r.cost_final, r.obs_rmse)
+        """Device arrays of ALL in-flight window solves (oldest first, 5
+        handles each), for merging into the caller's next bulk device_get
+        (empty tuple when nothing is pending)."""
+        out = []
+        for p in self._pending:
+            r = p["res"]
+            out += [r.cam_pose, r.lm_pos, r.cost_init, r.cost_final, r.obs_rmse]
+        return tuple(out)
 
     def commit_pending(self, host_vals: tuple | None = None):
-        """Write back the window solve. ``host_vals``, when given, must be the
-        already-pulled numpy values of ``pending_device_arrays()``."""
-        p = self._pending
-        if p is None:
+        """Write back every queued window solve in dispatch order.
+        ``host_vals``, when given, must be the already-pulled numpy values of
+        ``pending_device_arrays()``."""
+        q, self._pending = self._pending, []
+        if not q:
             return
-        self._pending = None
         if host_vals is None:
-            r = p["res"]
-            host_vals = jax.device_get(
-                (r.cam_pose, r.lm_pos, r.cost_init, r.cost_final, r.obs_rmse))
+            host_vals = jax.device_get(tuple(
+                h for p in q
+                for h in (p["res"].cam_pose, p["res"].lm_pos,
+                          p["res"].cost_init, p["res"].cost_final,
+                          p["res"].obs_rmse)))
+        assert len(host_vals) == 5 * len(q)
+        for i, p in enumerate(q):
+            self._commit_one(p, host_vals[5 * i: 5 * i + 5])
+
+    def _commit_one(self, p: dict, host_vals: tuple):
         cam_opt_f, lm_opt_f, cost_init, cost_final, rmse = host_vals
         cam_opt = np.asarray(cam_opt_f, np.float64)
         win_map = p["win_map"]
@@ -580,7 +598,7 @@ class SRBAEngine:
         if m.any():
             self._edge_pose[np.nonzero(m)[0]] = se3_np.relative_batch(
                 cam_opt[wv[m]], cam_opt[wu[m]])
-        for k, (_h, rel) in self.spanning_tree(0).items():
+        for k, (_h, rel) in self.spanning_tree(0, allow_stale=True).items():
             self.kf_global[k] = rel
         lms = p["lms"]
         self.lm_pos[lms] = np.asarray(lm_opt_f, np.float64)[: len(lms)]
@@ -594,8 +612,8 @@ class SRBAEngine:
                            self.kf_global[p["root"]].copy())
 
     def flush(self):
-        """Force any pending window solve to land (no-op when none)."""
-        if self._pending is not None:
+        """Force every queued window solve to land (no-op when none)."""
+        if self._pending:
             self.commit_pending()
 
     # -------------------------------------------------------------- exports

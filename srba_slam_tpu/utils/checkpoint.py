@@ -96,7 +96,7 @@ def load_state(est, path: str):
     store.n_kfs = scalars["n_kfs"]
 
     rba = est.rba
-    rba._pending = None
+    rba._pending = []
     rba.n_kfs = scalars["rba_n_kfs"]
     n_edges = len(data["rba_edge_u"])
     rba._edge_cap = max(64, 1 << max(n_edges - 1, 1).bit_length())
