@@ -213,17 +213,26 @@ class BoWDatabase:
     def compute_bow(self, desc_packed: jax.Array, valid: jax.Array) -> jax.Array:
         return bow_vector(desc_packed, valid, self._leaf_bits, self._weights)
 
-    def insert(self, desc_packed: jax.Array, valid: jax.Array) -> int:
-        """Insert a keyframe's descriptors; returns its DB entry id (== KF id)."""
+    def write_row(self, desc_packed: jax.Array, valid: jax.Array, row: int):
+        """Device write of one DB row WITHOUT committing the entry counter
+        (speculative insertion: rows >= n_kfs never score, so an
+        uncommitted write is inert)."""
         # dynamic_update_slice clamps out-of-range starts, which would silently
         # overwrite the last row and break the entry-id == KF-id contract
-        assert self.n_kfs < self.max_kfs, (
+        assert row < self.max_kfs, (
             f"BoW database full ({self.max_kfs} keyframes)"
         )
-        self._db = _insert(self._db, jnp.int32(self.n_kfs), desc_packed, valid,
+        self._db = _insert(self._db, jnp.int32(row), desc_packed, valid,
                            self._leaf_bits, self._weights)
+
+    def commit_row(self) -> int:
         self.n_kfs += 1
         return self.n_kfs - 1
+
+    def insert(self, desc_packed: jax.Array, valid: jax.Array) -> int:
+        """Insert a keyframe's descriptors; returns its DB entry id (== KF id)."""
+        self.write_row(desc_packed, valid, self.n_kfs)
+        return self.commit_row()
 
     def query(self, desc_packed: jax.Array, valid: jax.Array,
               max_results: int = 4):

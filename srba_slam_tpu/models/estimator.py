@@ -174,6 +174,15 @@ class SRBAStereoSLAMEstimator:
         self.updated_rotation_th = float(self.opts.max_rotation)
         self.next_match_id = 0
         self.frame_idx = -1
+        # speculative-check state (batched mode): deferred keyframe checks,
+        # track backpointers to the latest (possibly speculative) keyframe,
+        # and the dirty flag for lazy pose re-anchoring
+        self._spec: list[dict] = []
+        self._bp: np.ndarray | None = None
+        self._ref_ids: np.ndarray | None = None
+        self._last_m_valid = None
+        self._bp_live = False  # batch frames processed since the last sync
+        self._pose_dirty = False
         self.kf_stats: list[TStatsSRBA] = []
         self.step_log: list[StepResult] = []
         self._da_key = jax.random.PRNGKey(7)
@@ -201,10 +210,13 @@ class SRBAStereoSLAMEstimator:
     # ---------------------------------------------------------- batched loop
     def perform_stereo_slam_batched(self, frame_source, batch: int = 8):
         """Batched main loop: B frames per device dispatch (lax.scan VO) and
-        ONE bulk host transfer per batch. Through the tunneled TPU runtime
-        every host round-trip costs tens of ms regardless of payload, so this
-        is ~B-fold faster end-to-end than per-frame stepping; keyframe
-        decisions replay on host from the pulled batch results."""
+        ONE blocking host transfer per batch — keyframe checks are
+        dispatched speculatively and their pulls merge into the NEXT batch's
+        transfer (see :meth:`_defer_check`). Through remote/tunneled
+        runtimes every blocking round-trip costs a full network RTT, so the
+        loop runs at ~1 sync per batch regardless of how many keyframes it
+        inserts; results are identical to per-frame stepping (asserted by
+        tests/test_batch_mode.py, including the speculation-miss replay)."""
         assert self._initialized, "call initialize() first"
         it = iter(frame_source)
         if self.store.n_kfs == 0:
@@ -214,6 +226,7 @@ class SRBAStereoSLAMEstimator:
             except StopIteration:
                 return self.step_log
             self.step(left, right)
+        self._sync_bp_from_engine()
 
         def take():
             lefts, rights = [], []
@@ -249,15 +262,21 @@ class SRBAStereoSLAMEstimator:
                 nxt = self._dispatch_scan(*nxt_chunk, chain=disp)
             disp = nxt
             if self.general.max_num_kfs and \
-                    self.store.n_kfs >= self.general.max_num_kfs:
+                    self.store.n_kfs + len(self._spec) >= \
+                    self.general.max_num_kfs:
                 break
             if self.general.to_step and self.frame_idx >= self.general.to_step:
                 break
+        self._finish_batched()
         return self.step_log
 
     def step_batch(self, lefts: np.ndarray, rights: np.ndarray):
-        """Process B frames with one VO dispatch + one bulk transfer."""
+        """Process B frames with one VO dispatch + one bulk transfer
+        (synchronous semantics: all checks resolved on return)."""
+        if self._bp is None or not self._spec:
+            self._sync_bp_from_engine()
         self._process_scan(self._dispatch_scan(lefts, rights))
+        self._finish_batched()
 
     def _dispatch_scan(self, lefts: np.ndarray, rights: np.ndarray,
                        chain: dict | None = None) -> dict:
@@ -295,6 +314,11 @@ class SRBAStereoSLAMEstimator:
     def _process_scan(self, disp: dict):
         """Pull one dispatched batch and run the per-frame keyframe logic.
 
+        ONE blocking transfer serves three purposes: this batch's VO
+        outputs, the queued SRBA window solves, and the PREVIOUS batch's
+        deferred keyframe-check results (which retro-resolve here — see
+        :meth:`_defer_check` for the speculation model).
+
         Implements the adaptive-threshold retry protocol at batch
         granularity (≙ reference .cpp:271-315): if a frame's stereo matches
         fall below ``adaptive_th_min_matches`` and a threshold can still
@@ -307,17 +331,24 @@ class SRBAStereoSLAMEstimator:
         last_feat, last_inc = disp["last_feat"], disp["last_inc"]
         (feats, track_idx, track_valid, poses, pose_valid, n_inl, mean_res) \
             = disp["outs"]
-        # ONE bulk transfer for the batch; a pending SRBA window solve from
-        # the previous batch rides along and commits for free
         pend = self.rba.pending_device_arrays()
+        spec = self._spec
+        spec_handles = tuple(h for c in spec for h in c["handles"])
         pulled = jax.device_get(
             (track_idx, track_valid, feats.m_valid, poses, pose_valid,
-             mean_res, last_inc) + pend
+             mean_res, last_inc) + pend + spec_handles
         )
         (track_idx, track_valid, m_valid, poses, pose_valid, mean_res,
          last_inc_h) = pulled[:7]
         if pend:
-            self.rba.commit_pending(pulled[7:])
+            self.rba.commit_pending(pulled[7:7 + len(pend)])
+        if spec:
+            self._resolve_spec(pulled[7 + len(pend):])
+        self._reanchor_if_dirty()
+
+        batch_rec = dict(feats=feats, track_idx=track_idx,
+                         track_valid=track_valid, m_valid=m_valid,
+                         poses=poses, pose_valid=pose_valid, b=b)
 
         th = self.opts.adaptive_th_min_matches
         n_per = m_valid.sum(axis=1)
@@ -329,8 +360,7 @@ class SRBAStereoSLAMEstimator:
 
         if retry_j is not None:
             # frames before the first sub-threshold frame are committed as-is
-            self._process_frames(feats, track_idx, track_valid, m_valid,
-                                 poses, pose_valid, 0, retry_j)
+            self._process_frames(batch_rec, 0, retry_j)
             if not eng.is_fast_th_min():
                 eng.set_fast_threshold(eng.fast_th - 10)
             else:
@@ -358,14 +388,13 @@ class SRBAStereoSLAMEstimator:
             disp["last_inc"] = tail["last_inc"]
             return
 
-        prev_ids = self._process_frames(feats, track_idx, track_valid,
-                                        m_valid, poses, pose_valid, 0, b)
+        self._process_frames(batch_rec, 0, b)
 
-        # sync the VO engine to the end of the batch
+        # sync the VO engine's feature state to the end of the batch (global
+        # ids are materialized lazily once the deferred checks resolve —
+        # _finish_batched)
         eng._prev = last_feat
-        eng._prev_ids = prev_ids
         eng._cur = last_feat
-        eng._cur_ids = prev_ids
         eng._last_pose_inc = np.asarray(last_inc_h, np.float32)
 
         # healthy-threshold drift (≙ the post-retry adjustments of
@@ -378,16 +407,24 @@ class SRBAStereoSLAMEstimator:
                 eng.set_fast_threshold(eng.fast_th + 5)
             eng.reset_orb_threshold()
 
-    def _process_frames(self, feats, track_idx, track_valid, m_valid, poses,
-                        pose_valid, j0: int, j1: int) -> np.ndarray:
-        """Per-frame keyframe logic for batch frames [j0, j1); returns the
-        last frame's match IDs (also written to the engine)."""
-        eng = self.vo
-        prev_ids = eng._prev_ids
-        kf_ids_arr = (
-            np.fromiter(eng._kf_id_set, np.int64)
-            if eng._kf_id_set else np.zeros(0, np.int64)
-        )
+    def _process_frames(self, batch_rec: dict, j0: int, j1: int,
+                        defer: bool = True):
+        """Per-frame keyframe logic for batch frames [j0, j1).
+
+        Track identity is kept as BACKPOINTERS (``self._bp``) into the
+        latest keyframe's feature slots instead of materialized global ids:
+        the membership count the KF triggers need is just ``(bp >= 0).sum()``,
+        which is id-free — so a keyframe check can be dispatched and its
+        results pulled a whole batch later (``defer=True``) without knowing
+        the propagated ids yet. ``defer=False`` (replay after a speculation
+        miss) resolves each check synchronously."""
+        m_valid = batch_rec["m_valid"]
+        track_idx = batch_rec["track_idx"]
+        track_valid = batch_rec["track_valid"]
+        poses = batch_rec["poses"]
+        pose_valid = batch_rec["pose_valid"]
+        feats = batch_rec["feats"]
+        k = self.capacity
         for j in range(j0, j1):
             self.frame_idx += 1
             res = StepResult(self.frame_idx)
@@ -395,45 +432,200 @@ class SRBAStereoSLAMEstimator:
             n_matches = int(m_valid[j].sum())
             if not bool(pose_valid[j]) or n_matches < 8:
                 # skip frame; the tracking reference still advances
-                prev_ids = np.full(self.capacity, -1, np.int64)
+                self._bp = np.full(k, -1, np.int64)
+                self._last_m_valid = None
+                self._bp_live = True
                 continue
 
-            # host ID chain (≙ StereoVOEngine.process_stereo_pair bookkeeping)
-            cur_ids = np.full(self.capacity, -1, np.int64)
+            # backpointer chain (≙ the global-id inheritance of
+            # StereoVOEngine.process_stereo_pair, names dropped)
+            nbp = np.full(k, -1, np.int64)
             tv = track_valid[j]
-            cur_ids[tv] = prev_ids[track_idx[j][tv]]
-            cur_ids[~m_valid[j]] = -1
-            fresh = m_valid[j] & (cur_ids < 0)
-            n_fresh = int(fresh.sum())
-            cur_ids[fresh] = np.arange(eng._next_id, eng._next_id + n_fresh)
-            eng._next_id += n_fresh
-            tracked_kf = (
-                int(np.isin(cur_ids[cur_ids >= 0], kf_ids_arr).sum())
-                if len(kf_ids_arr) else 0
-            )
+            nbp[tv] = self._bp[track_idx[j][tv]]
+            nbp[~m_valid[j]] = -1
+            self._bp = nbp
+            self._last_m_valid = m_valid[j]
+            self._bp_live = True
+            tracked_kf = int((nbp >= 0).sum())
             res.vo_valid = True
             res.n_stereo_matches = n_matches
             res.tracked_from_last_kf = tracked_kf
 
             motion = se3_np.inverse(poses[j].astype(np.float64))
             self.current_pose = se3_np.compose(self.current_pose, motion)
-            self.incr_from_last_kf = se3_np.compose(self.incr_from_last_kf, motion)
+            self.incr_from_last_kf = se3_np.compose(self.incr_from_last_kf,
+                                                    motion)
             self.incr_from_last_check = se3_np.compose(
                 self.incr_from_last_check, motion)
 
             force_new_kf, check = self._kf_triggers(tracked_kf)
-            if check:
-                res.kf_check = True
-                self.incr_from_last_check = np.zeros(6)
-                frame_j = _slice_frame(feats, jnp.int32(j))  # ONE dispatch
+            if not check:
+                continue
+            res.kf_check = True
+            self.incr_from_last_check = np.zeros(6)
+            frame_j = _slice_frame(feats, jnp.int32(j))  # ONE dispatch
+            if defer:
+                self._defer_check(frame_j, res, force_new_kf, batch_rec, j)
+            else:
                 new_ids = self._kf_check(frame_j, res, force_new_kf)
                 if new_ids is not None:
-                    cur_ids = new_ids
-                    kf_ids_arr = new_ids[new_ids >= 0]
-                    eng._kf_id_set = set(int(i) for i in kf_ids_arr)
-            prev_ids = cur_ids
-        eng._prev_ids = prev_ids
-        return prev_ids
+                    self._bp = np.where(m_valid[j], np.arange(k), -1)
+                    self._ref_ids = new_ids.copy()
+
+    # ----------------------------------------------- speculative KF checks
+    # The check's query+DA dispatch is cheap; its blocking PULL costs a full
+    # host<->device round trip. Everything the host needs to CONTINUE past a
+    # check without the results is deterministic under the assumption that
+    # the check inserts (the overwhelmingly common outcome): the device
+    # store/BoW rows are exactly the frame's data (written speculatively —
+    # rows beyond the committed counters are inert, so a miss needs no
+    # cleanup), the trigger accumulators reset, and track membership needs
+    # only backpointers, not ids. So checks DEFER: their pulls merge into
+    # the next batch's single bulk transfer, and the insertion's host-side
+    # graph work happens retroactively there — with full, exact state. A
+    # mispredicted check (no-insert) restores a snapshot and replays the
+    # batch tail with synchronous checks.
+
+    _N_CHECK_HANDLES = 11  # length of _kf_check_dispatch's tuple
+
+    def _defer_check(self, frame_j, res: StepResult, force_new_kf: bool,
+                     batch_rec: dict, j: int):
+        """Dispatch a keyframe check without pulling it; speculate INSERT."""
+        m_valid = batch_rec["m_valid"]
+        snap = dict(
+            log_len=len(self.step_log),      # keeps res (the check frame)
+            frame_idx=self.frame_idx,
+            incr_kf=self.incr_from_last_kf.copy(),
+            tr_th=self.updated_translation_th,
+            rot_th=self.updated_rotation_th,
+            bp=self._bp.copy(), ref_ids=self._ref_ids,
+            batch=batch_rec, j=j,
+        )
+        spec_row = self.store.n_kfs + len(self._spec)
+        handles = self._kf_check_dispatch(frame_j, n_kfs=spec_row)
+        snap["da_key"] = self._da_key  # post-split: replay re-splits in order
+        self.store.write_row(frame_j, spec_row)
+        self.bow.write_row(frame_j.desc_l, frame_j.m_valid, spec_row)
+        self._spec.append(dict(
+            handles=handles, frame=frame_j, res=res, force=force_new_kf,
+            incr_at_check=snap["incr_kf"], snap=snap, spec_row=spec_row))
+        # speculative insert: reset accumulators/thresholds, re-reference
+        # the track chains to this frame (ids pending until resolution)
+        self.incr_from_last_kf = np.zeros(6)
+        self.updated_translation_th = float(self.opts.max_translation)
+        self.updated_rotation_th = float(self.opts.max_rotation)
+        self._bp = np.where(m_valid[j], np.arange(self.capacity), -1)
+        self._ref_ids = None
+
+    def _resolve_spec(self, vals: tuple):
+        """Retro-process deferred checks in order from their pulled values.
+        All host graph state (SRBA edges, topo distances, thresholds) is
+        exact at this point, so the decisions equal what the synchronous
+        path would have produced — only the device inputs were speculative,
+        and those are exact too unless a check declined to insert."""
+        checks, self._spec = self._spec, []
+        n = self._N_CHECK_HANDLES
+        last_ids = None
+        for idx, c in enumerate(checks):
+            pulled = tuple(vals[idx * n:(idx + 1) * n])
+            d = self._kf_decide(pulled, c["res"], c["force"])
+            if not d["insert"]:
+                self._replay_from(c, d)
+                return
+            last_ids = self._kf_apply(d, c["frame"], c["res"],
+                                      initial_rel=c["incr_at_check"],
+                                      pre_written=True)
+        if checks:
+            if self._ref_ids is None and last_ids is not None:
+                # the last deferred check's frame is the current track
+                # reference; its ids just materialized
+                self._ref_ids = last_ids.copy()
+            self.last_kf_pose = self.rba.kf_global[self.store.n_kfs - 1].copy()
+            self.current_pose = se3_np.compose(self.last_kf_pose,
+                                               self.incr_from_last_kf)
+            self._pose_dirty = False
+
+    def _replay_from(self, c: dict, d: dict):
+        """Speculation miss: the check at ``c`` did NOT insert. Restore the
+        snapshot taken at its dispatch, apply the no-insert outcome, and
+        replay the rest of its batch with synchronous checks (later deferred
+        checks were dropped by the caller; their speculative device rows are
+        inert and will be overwritten by the next real insertions)."""
+        snap = c["snap"]
+        self.frame_idx = snap["frame_idx"]
+        del self.step_log[snap["log_len"]:]
+        self.incr_from_last_kf = snap["incr_kf"].copy()
+        self.incr_from_last_check = np.zeros(6)
+        self.updated_translation_th = snap["tr_th"]
+        self.updated_rotation_th = snap["rot_th"]
+        self._bp = snap["bp"].copy()
+        self._ref_ids = snap["ref_ids"]
+        self._da_key = snap["da_key"]
+        self._apply_no_insert(d)
+        if self.store.n_kfs:
+            self.last_kf_pose = self.rba.kf_global[self.store.n_kfs - 1].copy()
+        self.current_pose = se3_np.compose(self.last_kf_pose,
+                                           self.incr_from_last_kf)
+        self._pose_dirty = False
+        b = snap["batch"]
+        self._process_frames(b, snap["j"] + 1, b["b"], defer=False)
+
+    def _resolve_pending_checks(self):
+        """Force deferred checks + queued window solves to land (one pull)."""
+        if not self._spec:
+            self.rba.flush()
+            self._reanchor_if_dirty()
+            return
+        pend = self.rba.pending_device_arrays()
+        spec_handles = tuple(h for c in self._spec for h in c["handles"])
+        pulled = jax.device_get(pend + spec_handles)
+        if pend:
+            self.rba.commit_pending(pulled[:len(pend)])
+        self._resolve_spec(pulled[len(pend):])
+        self._reanchor_if_dirty()
+
+    def _materialize_engine_ids(self):
+        """Translate the backpointer chains into the VO engine's global-id
+        representation so per-frame stepping, checkpointing, and fleet mode
+        can continue seamlessly from batched state."""
+        if not self._bp_live or self._bp is None or self._ref_ids is None:
+            return
+        self._bp_live = False
+        eng = self.vo
+        ids = np.full(self.capacity, -1, np.int64)
+        sel = self._bp >= 0
+        ids[sel] = self._ref_ids[self._bp[sel]]
+        if self._last_m_valid is not None:
+            ids = eng._mint_ids(ids, self._last_m_valid)
+        eng._prev_ids = ids
+        eng._cur_ids = ids
+        eng._kf_id_set = set(
+            int(i) for i in self._ref_ids[self._ref_ids >= 0])
+
+    def _sync_bp_from_engine(self):
+        """(Re)build the backpointer state from the engine's global ids —
+        called when batched mode (re)starts after per-frame stepping."""
+        self._last_m_valid = None
+        self._bp_live = False
+        if self.store.n_kfs == 0:
+            self._bp = np.full(self.capacity, -1, np.int64)
+            self._ref_ids = None
+            return
+        ref_ids = self.store.match_ids[self.store.n_kfs - 1]
+        slot_of = {int(v): s for s, v in enumerate(ref_ids) if v >= 0}
+        bp = np.full(self.capacity, -1, np.int64)
+        prev = self.vo._prev_ids
+        if prev is not None:
+            for i, v in enumerate(prev):
+                if v >= 0:
+                    bp[i] = slot_of.get(int(v), -1)
+        self._bp = bp
+        self._ref_ids = ref_ids.copy()
+
+    def _finish_batched(self):
+        """Resolve all speculative state; batched results become final."""
+        self._resolve_pending_checks()
+        self._materialize_engine_ids()
 
     # ----------------------------------------------------------------- step
     def step(self, left: np.ndarray, right: np.ndarray) -> StepResult:
@@ -568,10 +760,11 @@ class SRBAStereoSLAMEstimator:
             pulled = jax.device_get(handles + pend)
             if pend:
                 self.rba.commit_pending(pulled[len(handles):])
+            self._reanchor_if_dirty()
         return self._kf_check_host(pulled[: len(handles)], frame, res,
                                    force_new_kf)
 
-    def _kf_check_dispatch(self, frame) -> tuple:
+    def _kf_check_dispatch(self, frame, n_kfs: int | None = None) -> tuple:
         """Dispatch the fused BoW-query + DA-cascade program for one frame;
         returns the flat tuple of device arrays the host logic needs (pull
         them in ONE transfer, then call :meth:`_kf_check_host`).
@@ -584,11 +777,13 @@ class SRBAStereoSLAMEstimator:
 
         m = self.opts.da_stage2_method
         self._da_key, sub = jax.random.split(self._da_key)
+        if n_kfs is None:
+            n_kfs = self.store.n_kfs
         with self.profiler.section("queryDB"):
             top_s, top_i, cand, da = query_and_associate(
                 frame, self.store.arrays, self.bow._db,
                 self.bow._leaf_bits, self.bow._weights,
-                jnp.int32(self.store.n_kfs), self.cam, sub,
+                jnp.int32(n_kfs), self.cam, sub,
                 max_orb_distance_da=self.opts.max_orb_distance_da,
                 residual_th=self.opts.residual_th,
                 max_y_diff_epipolar=self.opts.max_y_diff_epipolar,
@@ -603,11 +798,29 @@ class SRBAStereoSLAMEstimator:
 
     def _kf_check_host(self, pulled: tuple, frame, res: StepResult,
                        force_new_kf: bool):
-        """Host half of the keyframe check: similar-KF selection, LC
-        confirmation, insertion decision and the insertion itself. ``pulled``
-        is the host copy of :meth:`_kf_check_dispatch`'s tuple."""
-        import time as _time
+        """Host half of the keyframe check, SYNCHRONOUS semantics:
+        similar-KF selection, LC confirmation, insertion decision and the
+        insertion itself (decide + apply). ``pulled`` is the host copy of
+        :meth:`_kf_check_dispatch`'s tuple."""
+        d = self._kf_decide(pulled, res, force_new_kf)
+        if not d["insert"]:
+            self._apply_no_insert(d)
+            return None
+        ids = self._kf_apply(d, frame, res,
+                             initial_rel=self.incr_from_last_kf,
+                             pre_written=False)
+        # reset accumulators (≙ .cpp:662-663, 922-923)
+        self.current_pose = self.last_kf_pose.copy()
+        self.incr_from_last_kf = np.zeros(6)
+        return ids
 
+    def _kf_decide(self, pulled: tuple, res: StepResult,
+                   force_new_kf: bool) -> dict:
+        """PURE insertion decision from the pulled check results: similar-KF
+        selection + LC confirmation (≙ .cpp:483-545). Mutates only logs
+        (query_log, debug dumps, res.best_tracked); threshold side effects
+        are returned in the dict and applied by the caller — so the decision
+        can be replayed exactly when a speculative check resolves late."""
         (scores, ids, da_status_all, da_oidx_all, tracked_all, f_m_valid,
          f_xs_l, f_ys_l, f_xs_r, f_m_r, f_pts) = pulled
         self.query_log.append((res.frame_idx, np.asarray(scores).copy(),
@@ -644,6 +857,7 @@ class SRBAStereoSLAMEstimator:
         # from the TRACKED-FEATURE surplus (.cpp:525-541)
         lc_confirmed = None
         insert = force_new_kf
+        new_tr_th = new_rot_th = None
         with self.profiler.section("confirmLC"):
             if lc_candidate is not None:
                 lc_pos = similar.index(lc_candidate)
@@ -660,30 +874,50 @@ class SRBAStereoSLAMEstimator:
                         self.opts.up_matches_th_plus:
                     olimit = (self.opts.updated_matches_th
                               + self.opts.up_matches_th_plus)
-                    self.updated_translation_th = update_translation_threshold(
+                    new_tr_th = update_translation_threshold(
                         best - self.opts.updated_matches_th,
                         self.opts.up_matches_th_plus,
                     )
-                    self.updated_rotation_th = update_rotation_threshold(
-                        best, olimit
-                    )
-        if not insert:
-            return None
+                    new_rot_th = update_rotation_threshold(best, olimit)
+        return dict(
+            insert=insert, similar=similar, order=order, tracked=tracked,
+            da_status=da_status, da_oidx=da_oidx, lc_confirmed=lc_confirmed,
+            f_m_valid=f_m_valid, f_xs_l=f_xs_l, f_ys_l=f_ys_l, f_xs_r=f_xs_r,
+            f_m_r=f_m_r, f_pts=f_pts, new_tr_th=new_tr_th,
+            new_rot_th=new_rot_th,
+        )
 
-        # ----- INSERT NEW KF (≙ .cpp:563-924)
+    def _apply_no_insert(self, d: dict):
+        """Threshold shrink of the no-insert branch (≙ .cpp:525-541)."""
+        if d["new_tr_th"] is not None:
+            self.updated_translation_th = d["new_tr_th"]
+            self.updated_rotation_th = d["new_rot_th"]
+
+    def _kf_apply(self, d: dict, frame, res: StepResult,
+                  initial_rel: np.ndarray, pre_written: bool):
+        """INSERT NEW KF (≙ .cpp:563-924) from a positive decision dict.
+
+        ``pre_written=True`` means the keyframe row was already written to
+        the device store/BoW DB speculatively — only the host counters and
+        per-KF host fields commit here. ``initial_rel`` is the accumulated
+        pose increment since the previous keyframe AT CHECK TIME (for
+        ``use_initial_pose``). Returns the keyframe's match IDs."""
+        import time as _time
+
         t0 = _time.perf_counter()
         ids, n_new, n_common = self._propagate_ids(
-            f_m_valid, da_status, da_oidx, similar, order)
-        obs = self._build_obs_host(f_m_valid, f_xs_l, f_ys_l, f_xs_r, f_m_r,
-                                   f_pts, ids)
-        if lc_confirmed is not None:
+            d["f_m_valid"], d["da_status"], d["da_oidx"], d["similar"],
+            d["order"])
+        obs = self._build_obs_host(d["f_m_valid"], d["f_xs_l"], d["f_ys_l"],
+                                   d["f_xs_r"], d["f_m_r"], d["f_pts"], ids)
+        if d["lc_confirmed"] is not None:
             self.rba.loop_closure_detected(True)
-            self.rba.set_lc_old_id(lc_confirmed)
-            res.loop_closure_with = lc_confirmed
-            self.debug.dump_loop_closure(self.store.n_kfs, lc_confirmed,
-                                         int(tracked[order[0]]))
+            self.rba.set_lc_old_id(d["lc_confirmed"])
+            res.loop_closure_with = d["lc_confirmed"]
+            self.debug.dump_loop_closure(self.store.n_kfs, d["lc_confirmed"],
+                                         int(d["tracked"][d["order"][0]]))
         if self.opts.use_initial_pose:
-            self.rba.set_initial_kf_pose(self.incr_from_last_kf)
+            self.rba.set_initial_kf_pose(initial_rel)
         with self.profiler.section("define_kf"):
             try:
                 info = self.rba.define_new_keyframe(obs, run_opt=True)
@@ -696,15 +930,18 @@ class SRBAStereoSLAMEstimator:
                 raise
         kf_id = info.kf_id
         new_global = self.rba.kf_global[kf_id].copy()
-        self.store.append(frame, ids, new_global)
+        if pre_written:
+            committed = self.store.commit_row(ids, new_global)
+            assert committed == kf_id
+            self.bow.commit_row()
+        else:
+            self.store.append(frame, ids, new_global)
+            self.bow.insert(frame.desc_l, frame.m_valid)
         self.debug.dump_kf(kf_id, frame, ids)
-        self.bow.insert(frame.desc_l, frame.m_valid)
-        # restore thresholds + reset accumulators (≙ .cpp:662-663, 922-923)
+        # restore thresholds (≙ .cpp:662-663)
         self.updated_translation_th = float(self.opts.max_translation)
         self.updated_rotation_th = float(self.opts.max_rotation)
-        self.current_pose = new_global.copy()
         self.last_kf_pose = new_global.copy()
-        self.incr_from_last_kf = np.zeros(6)
         dt = (_time.perf_counter() - t0) * 1e3
         res.inserted_kf = kf_id
         res.define_kf_ms = dt
@@ -719,14 +956,27 @@ class SRBAStereoSLAMEstimator:
 
     def _on_rba_commit(self, kf_id: int, old_global: np.ndarray,
                        new_global: np.ndarray):
-        """Re-anchor pose bookkeeping when a deferred window solve lands: the
-        newest KF's global pose moves from its VO seed to the optimized value,
-        and everything chained from it shifts by the same left correction."""
-        corr = se3_np.compose(new_global, se3_np.inverse(old_global))
-        self.current_pose = se3_np.compose(corr, self.current_pose)
-        self.last_kf_pose = new_global.copy()
+        """A deferred window solve landed: record it and mark the pose
+        bookkeeping dirty. Re-anchoring happens once per pull point via
+        :meth:`_reanchor_if_dirty` (several queued solves may land at one
+        pull; deriving from the final committed state is exact, a
+        per-commit left-correction is not)."""
         if kf_id < self.store.n_kfs:
             self.store.set_pose(kf_id, new_global)
+        self._pose_dirty = True
+
+    def _reanchor_if_dirty(self):
+        """Re-derive the pose bookkeeping from the committed graph, using
+        the invariant current_pose = last_kf_global ∘ incr_from_last_kf.
+        Only valid when the accumulated increment is measured from the last
+        COMMITTED keyframe — i.e. after all speculative checks resolved."""
+        if not self._pose_dirty or self._spec:
+            return
+        self._pose_dirty = False
+        if self.store.n_kfs:
+            self.last_kf_pose = self.rba.kf_global[self.store.n_kfs - 1].copy()
+            self.current_pose = se3_np.compose(self.last_kf_pose,
+                                               self.incr_from_last_kf)
 
     def _get_similar_kfs(self, scores, ids):
         """≙ m_get_similar_kfs (reference .cpp:1737-1878): prev KF always in;
@@ -839,6 +1089,7 @@ class SRBAStereoSLAMEstimator:
             return
         try:
             self.rba._pending = []  # failed/in-flight solves are not committable
+            self._spec = []         # unresolved speculative checks likewise
             self.finalize(out_dir=out_dir)
         except Exception:
             # minimal fallback: raw graph + unoptimized trajectory
@@ -862,6 +1113,7 @@ class SRBAStereoSLAMEstimator:
     def finalize(self, out_dir: str | None = None):
         """Final global pose-graph optimization + outputs
         (≙ the epilogue, reference .cpp:939-1096)."""
+        self._finish_batched()
         n = self.store.n_kfs
         self.rba.flush()
         if n >= 2 and self.rba.n_edges:

@@ -72,23 +72,36 @@ class KeyframeStore:
         self.poses = np.zeros((max_kfs, 6), np.float32)       # world poses, host
         self.n_kfs = 0
 
-    def append(self, frame: FrameFeatures, ids: np.ndarray,
-               pose: np.ndarray) -> int:
-        """Store a frame as keyframe; returns its KF id."""
-        i = self.n_kfs
-        assert i < self.max_kfs, "keyframe capacity exhausted"
+    def write_row(self, frame: FrameFeatures, row: int):
+        """Device write of a keyframe row WITHOUT committing the host
+        counter. Rows at index >= n_kfs are inert (every consumer masks by
+        the committed count), so a speculative write that is never
+        committed needs no cleanup — the next committed write simply
+        overwrites the slot."""
+        assert row < self.max_kfs, "keyframe capacity exhausted"
         self.arrays = _append_row(
-            self.arrays, jnp.int32(i),
+            self.arrays, jnp.int32(row),
             (
                 frame.ys_l, frame.xs_l, frame.valid_l, frame.desc_l,
                 frame.ys_r, frame.xs_r, frame.valid_r, frame.desc_r,
                 frame.m_r_idx, frame.m_valid, frame.pts3d, frame.octave,
             ),
         )
+
+    def commit_row(self, ids: np.ndarray, pose: np.ndarray) -> int:
+        """Commit the next row (previously device-written via
+        :meth:`write_row`) with its host-side match IDs and pose."""
+        i = self.n_kfs
         self.match_ids[i] = ids
         self.poses[i] = pose
         self.n_kfs += 1
         return i
+
+    def append(self, frame: FrameFeatures, ids: np.ndarray,
+               pose: np.ndarray) -> int:
+        """Store a frame as keyframe; returns its KF id."""
+        self.write_row(frame, self.n_kfs)
+        return self.commit_row(ids, pose)
 
     def drop_last(self):
         """Un-insert the most recent KF (≙ the candidate-KF rollback at

@@ -584,6 +584,13 @@ class SRBAEngine:
         cam_opt_f, lm_opt_f, cost_init, cost_final, rmse = host_vals
         cam_opt = np.asarray(cam_opt_f, np.float64)
         win_map = p["win_map"]
+        # keyframes inserted AFTER this solve dispatched are outside its
+        # window: pad the dispatch-time map so their edges are ignored
+        if len(win_map) < self.n_kfs:
+            win_map = np.concatenate([
+                win_map,
+                np.full(self.n_kfs - len(win_map), -1, win_map.dtype),
+            ])
         # Edges are the source of truth (the SRBA state): update every edge
         # whose endpoints are both in the window from the optimized
         # window-relative poses, then DERIVE all global poses by composing the

@@ -99,10 +99,9 @@ class FleetSLAM:
         leaf_bits = e0.bow._leaf_bits
         weights = e0.bow._weights
 
-        def one(frame, store_arrays, db, n_kfs, key, init_poses):
+        def one(frame, store_arrays, db, n_kfs, key):
             return query_and_associate(
                 frame, store_arrays, db, leaf_bits, weights, n_kfs, cam, key,
-                init_poses=init_poses,
                 max_orb_distance_da=opts.max_orb_distance_da,
                 residual_th=opts.residual_th,
                 max_y_diff_epipolar=opts.max_y_diff_epipolar,
@@ -112,8 +111,7 @@ class FleetSLAM:
                 kernel_param=e0.vo_opts.kernel_param,
             )
 
-        return jax.jit(jax.vmap(
-            one, in_axes=(0, 0, 0, 0, 0, 0 if m in (2, 3) else None)))
+        return jax.jit(jax.vmap(one))
 
     # ------------------------------------------------------------------ run
     def run(self, sources, max_frames: int | None = None):
@@ -141,8 +139,10 @@ class FleetSLAM:
                 e.step(l, r)
             return
 
-        lefts = jnp.asarray(np.stack([f[0] for f in frames]), jnp.float32)
-        rights = jnp.asarray(np.stack([f[1] for f in frames]), jnp.float32)
+        # native dtype (typically uint8): the frontend casts on-chip, and
+        # 8-bit uploads quarter the host->device bytes
+        lefts = jnp.asarray(np.stack([f[0] for f in frames]))
+        rights = jnp.asarray(np.stack([f[1] for f in frames]))
         prev = jax.tree.map(lambda *xs: jnp.stack(xs),
                             *[e.vo._prev for e in self.ests])
         if self.ests[0].vo.opts.use_previous_pose_as_initial:
@@ -249,19 +249,13 @@ class FleetSLAM:
             e._da_key, sub = jax.random.split(e._da_key)
             keys.append(sub)
         keys = jnp.stack(keys)
-        m = self.ests[0].opts.da_stage2_method
-        if m in (2, 3):
-            init_poses = jnp.stack(
-                [e._da_seed_poses() for e in self.ests])
-            stores, dbs, n_kfs, keys, init_poses = shard_batch(
-                self.mesh, (stores, dbs, n_kfs, keys, init_poses))
-        else:
-            init_poses = None
-            stores, dbs, n_kfs, keys = shard_batch(
-                self.mesh, (stores, dbs, n_kfs, keys))
+        # the DA change-in-pose solves seed themselves on device (Horn 3D-3D
+        # inside the cascade) — no per-sequence host seeds ride along
+        stores, dbs, n_kfs, keys = shard_batch(
+            self.mesh, (stores, dbs, n_kfs, keys))
         with self.mesh:
             top_s, top_i, _cand, da = self._qa_prog(
-                cur, stores, dbs, n_kfs, keys, init_poses)
+                cur, stores, dbs, n_kfs, keys)
         handles = (top_s, top_i, da.status, da.other_idx, da.tracked_count,
                    cur.m_valid, cur.xs_l, cur.ys_l, cur.xs_r, cur.m_r_idx,
                    cur.pts3d)

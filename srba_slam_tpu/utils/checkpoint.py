@@ -30,6 +30,7 @@ def save_state(est, path: str):
     """Serialize a SRBAStereoSLAMEstimator to ``path`` (.npz)."""
     store = est.store
     rba = est.rba
+    est._finish_batched()  # resolve speculative checks before snapshotting
     rba.flush()  # land any in-flight window solve before snapshotting
     arrays = {f"kf_{name}": np.asarray(arr)
               for name, arr in zip(store.arrays._fields, store.arrays)}

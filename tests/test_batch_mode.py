@@ -64,3 +64,61 @@ def test_batched_handles_ragged_tail():
     est.perform_stereo_slam_batched(frames, batch=4)  # 1 + 4 + 4 + 1
     assert len(est.step_log) == 10
     assert est.store.n_kfs >= 1
+
+
+def test_speculation_miss_replays_exactly():
+    """Force keyframe checks that DECLINE to insert (distance-triggered
+    checks while tracking stays strong): the deferred speculative path must
+    detect the mispredictions, replay the batch tails, and still match
+    per-frame mode exactly."""
+    cam = small_cam()
+    frames = list(SyntheticSource(cam, n_frames=25, seed=11, step=0.12))
+
+    # tiny translation threshold triggers a check every ~2 frames; a very
+    # low updated_matches_th means almost none of them insert -> misses
+    from srba_slam_tpu.config import (
+        GeneralOptions, SRBAStereoSLAMOptions, VOOptions,
+    )
+    from srba_slam_tpu.models.estimator import SRBAStereoSLAMEstimator
+
+    def make():
+        opts = SRBAStereoSLAMOptions(
+            camera=cam, n_feats=256, detect_fast_th=12,
+            adaptive_th_min_matches=40, max_translation=0.18,
+            max_rotation=10.0, updated_matches_th=12, vo_id_tracking_th=8,
+            srba_submap_size=5, srba_max_optimize_depth=3,
+            da_filter_by_direction=False, residual_th=10.0,
+        )
+        est = SRBAStereoSLAMEstimator(
+            GeneralOptions(), opts, VOOptions(fast_th=12, n_feats=256),
+            capacity=256, max_kfs=64,
+        )
+        est.initialize()
+        return est
+
+    est_a = make()
+    for l, r in frames:
+        est_a.step(l, r)
+    est_b = make()
+    est_b.perform_stereo_slam_batched(frames, batch=6)
+
+    checks = [r.frame_idx for r in est_a.step_log if r.kf_check]
+    inserts = [r.inserted_kf for r in est_a.step_log
+               if r.inserted_kf is not None]
+    assert len(checks) > len(inserts), (
+        "scenario must contain declined checks (speculation misses): "
+        f"{len(checks)} checks, {len(inserts)} inserts")
+
+    assert est_a.store.n_kfs == est_b.store.n_kfs
+    ka = [(r.frame_idx, r.kf_check, r.inserted_kf, r.best_tracked)
+          for r in est_a.step_log]
+    kb = [(r.frame_idx, r.kf_check, r.inserted_kf, r.best_tracked)
+          for r in est_b.step_log]
+    assert ka == kb
+    assert est_a.updated_translation_th == est_b.updated_translation_th
+    assert est_a.updated_rotation_th == est_b.updated_rotation_th
+    est_a.rba.flush()
+    est_b.rba.flush()
+    n = est_a.store.n_kfs
+    np.testing.assert_allclose(
+        est_a.rba.kf_global[:n], est_b.rba.kf_global[:n], atol=1e-5)
