@@ -162,11 +162,40 @@ def describe(img: jax.Array, ys: jax.Array, xs: jax.Array, valid: jax.Array,
     """
     img = img.astype(jnp.float32)
     blurred = gauss_blur7(img) if pattern == "opencv" else box_blur5(img)
+
+    if theta_override is None and not oriented:
+        # FAST PATH (the VO frontend's): upright tests sample at FIXED
+        # integer offsets, so instead of 512 random point-gathers per
+        # keypoint (random HBM access dominates the whole frontend on TPU),
+        # block-gather ONE 33x33 patch per keypoint (vmapped dynamic_slice
+        # -> a structured gather of contiguous blocks) and do the 256
+        # comparisons as constant-index takes inside the patch. The sampled
+        # pixels are identical, so the descriptors are bit-identical to the
+        # general path below. The detector margin (16 px) guarantees every
+        # patch is fully inside the image — no clipping semantics to match.
+        from srba_slam_tpu.ops.bits import pack_bits
+
+        r = 16
+        side = 2 * r + 1
+
+        def one_patch(y, x):
+            return jax.lax.dynamic_slice(
+                blurred, (y - r, x - r), (side, side))
+
+        patch = jax.vmap(one_patch)(ys, xs).reshape(ys.shape[0], side * side)
+        pat_np = _PATTERN_OPENCV if pattern == "opencv" else _PATTERN
+        pidx = np.rint(pat_np[:, 0, 0]).astype(np.int64) * side + \
+            np.rint(pat_np[:, 0, 1]).astype(np.int64) + r * side + r
+        qidx = np.rint(pat_np[:, 1, 0]).astype(np.int64) * side + \
+            np.rint(pat_np[:, 1, 1]).astype(np.int64) + r * side + r
+        bits = (patch[:, pidx] < patch[:, qidx]).astype(jnp.uint32)
+        desc = pack_bits(bits)
+        desc = jnp.where(valid[:, None], desc, jnp.uint32(0))
+        return desc, jnp.zeros(ys.shape[0], jnp.float32)
+
     theta = orientations(img, ys, xs)
     if theta_override is not None:
         theta = theta_override
-    elif not oriented:
-        theta = jnp.zeros_like(theta)
 
     c, s = jnp.cos(theta), jnp.sin(theta)  # [K]
     pat_np = _PATTERN_OPENCV if pattern == "opencv" else _PATTERN
