@@ -85,6 +85,36 @@ def main():
     best_dt = min(dts)
     fps = TIMED_FRAMES / best_dt
     median_fps = TIMED_FRAMES / sorted(dts)[len(dts) // 2]
+
+    # secondary: device-resident throughput — frames pre-staged on device,
+    # measuring the pipeline without the tunnel's host->device bandwidth
+    # (what a production deployment with DMA'd camera frames would see)
+    import jax.numpy as jnp
+
+    dev_fps = 0.0
+    for _rep in range(3):
+        if _rep:
+            time.sleep(REPEAT_GAP_S)
+        est = build()
+        est.perform_stereo_slam_batched(frames[:WARMUP_FRAMES], batch=BATCH)
+        est.rba.flush()
+        chunks = []
+        for c0 in range(WARMUP_FRAMES, len(frames), BATCH):
+            chunk = frames[c0:c0 + BATCH]
+            chunks.append((
+                jnp.asarray(np.stack([f[0] for f in chunk])),
+                jnp.asarray(np.stack([f[1] for f in chunk])),
+            ))
+        jax.block_until_ready(chunks)
+        jax.block_until_ready(est.vo.last_frame().desc_l)
+        t0 = time.perf_counter()
+        for lefts, rights in chunks:
+            est._process_scan(est._dispatch_scan(lefts, rights))
+        est._finish_batched()
+        est.rba.flush()
+        jax.block_until_ready(est.vo.last_frame().desc_l)
+        dev_fps = max(dev_fps, TIMED_FRAMES / (time.perf_counter() - t0))
+
     backend = jax.devices()[0].platform
     print(json.dumps({
         "metric": f"kitti_synth_e2e_fps_per_chip[{backend}]",
@@ -92,6 +122,7 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
         "median_fps": round(median_fps, 2),
+        "device_resident_fps": round(dev_fps, 2),
     }))
 
 
