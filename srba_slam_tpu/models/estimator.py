@@ -219,8 +219,11 @@ class SRBAStereoSLAMEstimator:
         tests/test_batch_mode.py, including the speculation-miss replay)."""
         assert self._initialized, "call initialize() first"
         it = iter(frame_source)
-        if self.store.n_kfs == 0:
-            # first frame bootstraps KF0 through the normal path
+        if self.store.n_kfs == 0 or self.vo._prev is None:
+            # first frame bootstraps KF0 through the normal path; a resumed
+            # run (checkpoint restores SLAM state but not the last frame's
+            # device features) re-establishes the tracking reference the
+            # same way
             try:
                 left, right = next(it)
             except StopIteration:

@@ -58,3 +58,55 @@ def test_checkpoint_preserves_bow_queries(tmp_path):
     s2, i2 = est2.bow.query(frame.desc_l, frame.m_valid)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_checkpoint_mid_batched_resolves_speculation(tmp_path):
+    """save_state during batched stepping must land all speculative checks
+    and queued window solves first: a checkpoint taken right after a
+    step_batch equals the state of an uninterrupted batched run, and can
+    resume in either mode."""
+    cam = small_cam()
+    frames = list(SyntheticSource(cam, n_frames=24, seed=11, step=0.12))
+
+    est_a = make_estimator()
+    est_a.perform_stereo_slam_batched(frames, batch=6)
+    est_a.rba.flush()
+
+    est_b = make_estimator()
+    est_b.step(*frames[0])
+    est_b._sync_bp_from_engine()
+    # two raw batches WITHOUT the end-of-loop finish: speculation pending
+    est_b._process_scan(est_b._dispatch_scan(
+        np.stack([f[0] for f in frames[1:7]]),
+        np.stack([f[1] for f in frames[1:7]])))
+    est_b._process_scan(est_b._dispatch_scan(
+        np.stack([f[0] for f in frames[7:13]]),
+        np.stack([f[1] for f in frames[7:13]])))
+    ckpt = str(tmp_path / "mid.npz")
+    save_state(est_b, ckpt)          # must resolve pending speculation
+    assert not est_b._spec
+    assert not est_b.rba._pending
+
+    # the checkpoint state equals what the same frames produce through the
+    # public batched API (which resolves at the end)
+    est_ref = make_estimator()
+    est_ref.perform_stereo_slam_batched(frames[:13], batch=6)
+    est_ref.rba.flush()
+    assert est_b.store.n_kfs == est_ref.store.n_kfs
+    n = est_b.store.n_kfs
+    np.testing.assert_array_equal(est_b.store.match_ids[:n],
+                                  est_ref.store.match_ids[:n])
+    np.testing.assert_allclose(est_b.rba.kf_global[:n],
+                               est_ref.rba.kf_global[:n], atol=1e-5)
+
+    # and the checkpoint resumes cleanly in batched mode (the resume path
+    # re-establishes the tracking reference with one per-frame step)
+    est_c = make_estimator()
+    load_state(est_c, ckpt)
+    est_c.perform_stereo_slam_batched(frames[13:], batch=6)
+    est_c.rba.flush()
+    assert est_c.store.n_kfs >= est_b.store.n_kfs
+    assert abs(est_c.store.n_kfs - est_a.store.n_kfs) <= 2
+    pa = est_a.rba.kf_global[est_a.store.n_kfs - 1]
+    pc = est_c.rba.kf_global[est_c.store.n_kfs - 1]
+    assert np.linalg.norm(pa[3:] - pc[3:]) < 0.3, (pa, pc)
