@@ -45,7 +45,12 @@ def main():
 
     cam = StereoCamera.kitti()
     n_frames = WARMUP_FRAMES + TIMED_FRAMES
-    src = SyntheticSource(cam, n_frames=n_frames, seed=11, step=0.8)
+    # "street" scene: ground plane + roadside structure, the KITTI-like
+    # world where inter-keyframe data association genuinely succeeds (a bare
+    # ground plane forces a pathological keyframe-every-3-frames regime —
+    # see utils/synthworld.StreetScene)
+    src = SyntheticSource(cam, n_frames=n_frames, seed=11, step=0.8,
+                          scene="street")
     frames = list(src)  # pre-render so host rendering never pollutes timing
 
     def build():

@@ -182,6 +182,8 @@ class SRBAStereoSLAMEstimator:
         self._ref_ids: np.ndarray | None = None
         self._last_m_valid = None
         self._bp_live = False  # batch frames processed since the last sync
+        self._da_dead = False  # appearance regime: does DA fail even at
+        # short range? (learned from non-forced checks; the predictor)
         self._pose_dirty = False
         self.kf_stats: list[TStatsSRBA] = []
         self.step_log: list[StepResult] = []
@@ -478,23 +480,39 @@ class SRBAStereoSLAMEstimator:
     # ----------------------------------------------- speculative KF checks
     # The check's query+DA dispatch is cheap; its blocking PULL costs a full
     # host<->device round trip. Everything the host needs to CONTINUE past a
-    # check without the results is deterministic under the assumption that
-    # the check inserts (the overwhelmingly common outcome): the device
-    # store/BoW rows are exactly the frame's data (written speculatively —
-    # rows beyond the committed counters are inert, so a miss needs no
-    # cleanup), the trigger accumulators reset, and track membership needs
-    # only backpointers, not ids. So checks DEFER: their pulls merge into
-    # the next batch's single bulk transfer, and the insertion's host-side
-    # graph work happens retroactively there — with full, exact state. A
-    # mispredicted check (no-insert) restores a snapshot and replays the
-    # batch tail with synchronous checks.
+    # check is deterministic once the check's OUTCOME is assumed, and both
+    # outcomes are cheap to speculate:
+    #
+    # * INSERT: the device store/BoW rows are exactly the frame's data
+    #   (written speculatively — rows beyond the committed counters are
+    #   inert, so a miss needs no cleanup), the trigger accumulators reset,
+    #   and track membership needs only backpointers, not ids;
+    # * NO-INSERT (the common outcome when tracking is strong and the check
+    #   fired on the distance trigger): nothing changes at all.
+    #
+    # The outcome is predicted from the trigger reason (force / low VO
+    # tracking => insert) plus the last resolved check's DA result (an
+    # appearance-blind VO chain can stay long while DA fails — the previous
+    # check's best-tracked count is the best available proxy). Checks DEFER:
+    # their pulls merge into the next batch's single bulk transfer, and the
+    # insertion's host-side graph work happens retroactively there with
+    # full, exact state. A mispredicted check restores a snapshot, applies
+    # the true outcome, and replays the batch tail with synchronous checks —
+    # results stay identical to per-frame stepping either way.
 
     _N_CHECK_HANDLES = 11  # length of _kf_check_dispatch's tuple
 
     def _defer_check(self, frame_j, res: StepResult, force_new_kf: bool,
                      batch_rec: dict, j: int):
-        """Dispatch a keyframe check without pulling it; speculate INSERT."""
+        """Dispatch a keyframe check without pulling it; speculate on the
+        predicted outcome."""
         m_valid = batch_rec["m_valid"]
+        th = self.opts.updated_matches_th
+        predict_insert = (
+            force_new_kf
+            or res.tracked_from_last_kf < 1.2 * th
+            or self._da_dead
+        )
         snap = dict(
             log_len=len(self.step_log),      # keeps res (the check frame)
             frame_idx=self.frame_idx,
@@ -504,56 +522,74 @@ class SRBAStereoSLAMEstimator:
             bp=self._bp.copy(), ref_ids=self._ref_ids,
             batch=batch_rec, j=j,
         )
-        spec_row = self.store.n_kfs + len(self._spec)
+        n_pending_ins = sum(1 for x in self._spec if x["ins"])
+        spec_row = self.store.n_kfs + n_pending_ins
         handles = self._kf_check_dispatch(frame_j, n_kfs=spec_row)
         snap["da_key"] = self._da_key  # post-split: replay re-splits in order
-        self.store.write_row(frame_j, spec_row)
-        self.bow.write_row(frame_j.desc_l, frame_j.m_valid, spec_row)
+        if predict_insert:
+            self.store.write_row(frame_j, spec_row)
+            self.bow.write_row(frame_j.desc_l, frame_j.m_valid, spec_row)
         self._spec.append(dict(
             handles=handles, frame=frame_j, res=res, force=force_new_kf,
+            ins=predict_insert, m_valid_j=m_valid[j],
             incr_at_check=snap["incr_kf"], snap=snap, spec_row=spec_row))
-        # speculative insert: reset accumulators/thresholds, re-reference
-        # the track chains to this frame (ids pending until resolution)
-        self.incr_from_last_kf = np.zeros(6)
-        self.updated_translation_th = float(self.opts.max_translation)
-        self.updated_rotation_th = float(self.opts.max_rotation)
-        self._bp = np.where(m_valid[j], np.arange(self.capacity), -1)
-        self._ref_ids = None
+        if predict_insert:
+            # reset accumulators/thresholds, re-reference the track chains
+            # to this frame (ids pending until resolution)
+            self.incr_from_last_kf = np.zeros(6)
+            self.updated_translation_th = float(self.opts.max_translation)
+            self.updated_rotation_th = float(self.opts.max_rotation)
+            self._bp = np.where(m_valid[j], np.arange(self.capacity), -1)
+            self._ref_ids = None
+        # predicted no-insert: state untouched (the overwhelmingly common
+        # no-insert outcome changes nothing — threshold shrink only happens
+        # in the narrow best ∈ [th, th+plus] window and counts as a miss)
 
     def _resolve_spec(self, vals: tuple):
         """Retro-process deferred checks in order from their pulled values.
         All host graph state (SRBA edges, topo distances, thresholds) is
         exact at this point, so the decisions equal what the synchronous
         path would have produced — only the device inputs were speculative,
-        and those are exact too unless a check declined to insert."""
+        and those are exact unless a prediction missed."""
         checks, self._spec = self._spec, []
         n = self._N_CHECK_HANDLES
-        last_ids = None
+        last_ins_ids = None
         for idx, c in enumerate(checks):
             pulled = tuple(vals[idx * n:(idx + 1) * n])
             d = self._kf_decide(pulled, c["res"], c["force"])
-            if not d["insert"]:
-                self._replay_from(c, d)
+            if not c["force"]:
+                # non-forced checks run at short range: if DA fails there,
+                # the appearance regime is bad and every check will insert
+                self._da_dead = c["res"].best_tracked < \
+                    self.opts.updated_matches_th
+            hit = (d["insert"] == c["ins"]) and (
+                d["insert"] or d["new_tr_th"] is None)
+            if not hit:
+                self._miss_recover(c, d)
                 return
-            last_ids = self._kf_apply(d, c["frame"], c["res"],
-                                      initial_rel=c["incr_at_check"],
-                                      pre_written=True)
+            if d["insert"]:
+                last_ins_ids = self._kf_apply(
+                    d, c["frame"], c["res"],
+                    initial_rel=c["incr_at_check"], pre_written=True)
+            # no-insert hit: nothing to do (decide set the log fields)
         if checks:
-            if self._ref_ids is None and last_ids is not None:
-                # the last deferred check's frame is the current track
-                # reference; its ids just materialized
-                self._ref_ids = last_ids.copy()
-            self.last_kf_pose = self.rba.kf_global[self.store.n_kfs - 1].copy()
-            self.current_pose = se3_np.compose(self.last_kf_pose,
-                                               self.incr_from_last_kf)
-            self._pose_dirty = False
+            if self._ref_ids is None and last_ins_ids is not None:
+                # the last insert-speculated check's frame is the current
+                # track reference; its ids just materialized
+                self._ref_ids = last_ins_ids.copy()
+            if any(c["ins"] for c in checks):
+                self.last_kf_pose = \
+                    self.rba.kf_global[self.store.n_kfs - 1].copy()
+                self.current_pose = se3_np.compose(self.last_kf_pose,
+                                                   self.incr_from_last_kf)
+                self._pose_dirty = False
 
-    def _replay_from(self, c: dict, d: dict):
-        """Speculation miss: the check at ``c`` did NOT insert. Restore the
-        snapshot taken at its dispatch, apply the no-insert outcome, and
-        replay the rest of its batch with synchronous checks (later deferred
-        checks were dropped by the caller; their speculative device rows are
-        inert and will be overwritten by the next real insertions)."""
+    def _miss_recover(self, c: dict, d: dict):
+        """Prediction miss at check ``c``: restore the snapshot taken at its
+        dispatch, apply the TRUE outcome, and replay the rest of its batch
+        with synchronous checks (later deferred checks were dropped by the
+        caller; insert-speculated device rows are inert and will be
+        overwritten by the next real insertions)."""
         snap = c["snap"]
         self.frame_idx = snap["frame_idx"]
         del self.step_log[snap["log_len"]:]
@@ -564,11 +600,24 @@ class SRBAStereoSLAMEstimator:
         self._bp = snap["bp"].copy()
         self._ref_ids = snap["ref_ids"]
         self._da_key = snap["da_key"]
-        self._apply_no_insert(d)
-        if self.store.n_kfs:
-            self.last_kf_pose = self.rba.kf_global[self.store.n_kfs - 1].copy()
-        self.current_pose = se3_np.compose(self.last_kf_pose,
-                                           self.incr_from_last_kf)
+        if d["insert"]:
+            # late insertion (the row was not pre-written for a no-insert
+            # speculation; pre_written rows of an insert-speculated check
+            # cannot reach here — an insert decision on one is a hit)
+            ids = self._kf_apply(d, c["frame"], c["res"],
+                                 initial_rel=snap["incr_kf"],
+                                 pre_written=False)
+            self.incr_from_last_kf = np.zeros(6)
+            self.current_pose = self.last_kf_pose.copy()
+            self._bp = np.where(c["m_valid_j"], np.arange(self.capacity), -1)
+            self._ref_ids = ids.copy()
+        else:
+            self._apply_no_insert(d)
+            if self.store.n_kfs:
+                self.last_kf_pose = \
+                    self.rba.kf_global[self.store.n_kfs - 1].copy()
+            self.current_pose = se3_np.compose(self.last_kf_pose,
+                                               self.incr_from_last_kf)
         self._pose_dirty = False
         b = snap["batch"]
         self._process_frames(b, snap["j"] + 1, b["b"], defer=False)
@@ -806,6 +855,8 @@ class SRBAStereoSLAMEstimator:
         insertion itself (decide + apply). ``pulled`` is the host copy of
         :meth:`_kf_check_dispatch`'s tuple."""
         d = self._kf_decide(pulled, res, force_new_kf)
+        if not force_new_kf:
+            self._da_dead = res.best_tracked < self.opts.updated_matches_th
         if not d["insert"]:
             self._apply_no_insert(d)
             return None

@@ -72,7 +72,7 @@ class SyntheticSource:
     def __init__(self, cam, n_frames: int = 100, seed: int = 11,
                  step: float = 0.12, loop: bool = False, scene: str = "auto",
                  laps: float = 1.25):
-        from srba_slam_tpu.utils.synthworld import PlaneScene
+        from srba_slam_tpu.utils.synthworld import PlaneScene, StreetScene
         from srba_slam_tpu.utils import se3_np
 
         self.cam = cam
@@ -81,9 +81,14 @@ class SyntheticSource:
             # a frontal plane ~12m away runs out after ~8m of forward travel;
             # long sequences drive over an infinite tiled ground plane
             scene = "ground" if n_frames * step > 8.0 else "frontal"
-        self.scene = (
-            PlaneScene.ground(rng) if scene == "ground" else PlaneScene(rng)
-        )
+        if scene == "street":
+            # KITTI-like: ground + camera-facing roadside structure (stable
+            # descriptors across keyframes — see StreetScene docstring)
+            self.scene = StreetScene(rng, path_len=n_frames * step)
+        elif scene == "ground":
+            self.scene = PlaneScene.ground(rng)
+        else:
+            self.scene = PlaneScene(rng)
         rng = np.random.default_rng(seed + 1)
         poses = [np.zeros(6)]
         if loop:

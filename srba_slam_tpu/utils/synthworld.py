@@ -10,12 +10,19 @@ from __future__ import annotations
 
 import numpy as np
 
-from srba_slam_tpu.utils import se3
-import jax.numpy as jnp
+from srba_slam_tpu.utils import se3_np
 
 
-def smooth_texture(rng, h=2048, w=2048, spacing=48, sigma=6.0):
+def smooth_texture(rng, h=2048, w=2048, spacing=48, sigma=6.0,
+                   jitter_frac=1.0 / 3.0, fractal=False):
     """Multi-scale field of anisotropic Gaussian blobs on a dark floor.
+
+    ``jitter_frac`` is the blob-placement jitter as a fraction of the cell
+    spacing. The default (1/3) keeps a loose lattice; 1.0 places blobs
+    uniformly inside their cells — APERIODIC, which matters for SLAM test
+    worlds: a quasi-regular lattice aliases under motion by ~multiples of
+    the spacing, producing large rigid-consistent sets of FALSE descriptor
+    matches that pass every geometric data-association filter.
 
     Gives FAST corners with well-separated, persistent scores — the
     detector's top-K selection is then repeatable across small viewpoint
@@ -30,13 +37,18 @@ def smooth_texture(rng, h=2048, w=2048, spacing=48, sigma=6.0):
 
     def stamp_layer(spacing_l, sigma_l, amp_lo, amp_hi, signed=False):
         rad = int(3 * sigma_l)
-        lo = rad + spacing_l // 2
+        # margin must cover the jitter range; the max() keeps the default
+        # jitter's blob layout bit-identical to the historical one
+        lo = rad + max(spacing_l // 2,
+                       int(np.ceil(spacing_l * jitter_frac)) + 1)
         win = np.arange(-rad, rad + 1)
         gy, gx = np.meshgrid(win, win, indexing="ij")
         for y0 in np.arange(lo, h - lo, spacing_l):
             for x0 in np.arange(lo, w - lo, spacing_l):
-                cy = y0 + rng.uniform(-spacing_l / 3, spacing_l / 3)
-                cx = x0 + rng.uniform(-spacing_l / 3, spacing_l / 3)
+                cy = y0 + rng.uniform(-spacing_l * jitter_frac,
+                                      spacing_l * jitter_frac)
+                cx = x0 + rng.uniform(-spacing_l * jitter_frac,
+                                      spacing_l * jitter_frac)
                 amp = rng.uniform(amp_lo, amp_hi)
                 if signed and rng.uniform() < 0.5:
                     amp = -amp
@@ -58,6 +70,13 @@ def smooth_texture(rng, h=2048, w=2048, spacing=48, sigma=6.0):
     stamp_layer(spacing * 4, sigma * 4, 25.0, 60.0, signed=True)
     stamp_layer(spacing * 2, sigma * 2, 20.0, 50.0, signed=True)
     stamp_layer(spacing, sigma, 40.0, 235.0)
+    if fractal:
+        # sub-octaves: corners exist at EVERY screen scale, so the tracked
+        # feature set decays gradually as the camera approaches instead of
+        # collapsing when one blob scale leaves the detector's band —
+        # matching how real-world surfaces behave
+        stamp_layer(spacing // 2, sigma / 2, 40.0, 180.0)
+        stamp_layer(spacing // 4, sigma / 4, 40.0, 150.0)
     return np.clip(tex, 0.0, 255.0)
 
 
@@ -120,9 +139,7 @@ class PlaneScene:
     def render(self, cam, pose_wc: np.ndarray):
         """Render the stereo pair for a camera at world pose `pose_wc`
         ([6] rotvec+trans; camera looks +z, x right, y down)."""
-        R, t = se3.exp(jnp.asarray(pose_wc, jnp.float32))
-        R = np.asarray(R, np.float64)
-        t = np.asarray(t, np.float64)
+        R, t = se3_np.exp(np.asarray(pose_wc, np.float64))
         h, w = cam.height, cam.width
         us, vs = np.meshgrid(np.arange(w), np.arange(h))
 
@@ -147,4 +164,116 @@ class PlaneScene:
         left = render_eye(cam.cx_l, cam.cy_l, cam.fx_l, cam.fy_l, t)
         right_origin = t + R @ np.array([cam.baseline, 0.0, 0.0])
         right = render_eye(cam.cx_r, cam.cy_r, cam.fx_r, cam.fy_r, right_origin)
+        return left, right
+
+
+class StreetScene:
+    """Ground plane + camera-facing textured billboards at stable depths —
+    a KITTI-street-like world for benchmark-geometry runs.
+
+    A pure grazing ground plane is a pathological world for descriptor-based
+    inter-keyframe association at automotive scale: its texture foreshortens
+    and rescales so fast along the viewing direction that ORB descriptors of
+    the same spot differ completely between keyframes meters apart, and the
+    tiled texture aliases (real streets instead show facades, poles, parked
+    cars — near-frontal surfaces whose appearance is stable over many
+    meters). The billboards model that frontal structure: each is a quad
+    facing the camera with its own texture window, so features on them track
+    across keyframes like real roadside structure does.
+    """
+
+    def __init__(self, rng, path_len: float = 80.0, spacing: float = 4.0,
+                 tex_scale: float = 90.0):
+        self.ground = PlaneScene.ground(rng)
+        # aperiodic (jitter_frac=1: a loose lattice aliases under ~2 m
+        # motion steps at automotive geometry) + fractal (corners at every
+        # screen scale decay gradually with distance) — see smooth_texture
+        self.ground.tex = smooth_texture(rng, jitter_frac=1.0, fractal=True)
+        self.tex = self.ground.tex  # share the texture, different windows
+        self.tex_scale = tex_scale
+        zs = np.arange(6.0, path_len + 70.0, spacing)
+        n = len(zs)
+        self.bz = zs + rng.uniform(-1.5, 1.5, n)
+        side = np.where(rng.uniform(size=n) < 0.5, -1.0, 1.0)
+        self.bx = side * rng.uniform(2.5, 9.0, n)
+        self.by = rng.uniform(-1.2, 0.6, n)      # y down; ground at +1.5
+        self.bs = rng.uniform(0.8, 2.2, n)       # half-size (meters)
+        # every billboard samples the shared texture through a UNIQUE warp
+        # (offset + its own scale + random mirroring): two billboards must
+        # never display the same pixel pattern, or their false inter-board
+        # matches form geometrically consistent sets that pass every DA
+        # filter and corrupt the bundle adjustment
+        self.bu = rng.uniform(0, self.tex.shape[1], n)  # texture window offset
+        self.bv = rng.uniform(0, self.tex.shape[0], n)
+        self.bscale = rng.uniform(60.0, 130.0, n)       # px per meter
+        self.bmu = np.where(rng.uniform(size=n) < 0.5, -1.0, 1.0)
+        self.bmv = np.where(rng.uniform(size=n) < 0.5, -1.0, 1.0)
+
+    def render(self, cam, pose_wc: np.ndarray):
+        R, t = se3_np.exp(np.asarray(pose_wc, np.float64))
+        h, w = cam.height, cam.width
+        us, vs = np.meshgrid(np.arange(w), np.arange(h))
+        g = self.ground
+
+        def render_eye(cx, cy, fx, fy, origin):
+            dirs = np.stack(
+                [(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, np.float64)],
+                -1)
+            dirs_w = dirs @ R.T
+            denom = dirs_w @ g.n
+            lam_g = (g.d - origin @ g.n) / np.where(
+                np.abs(denom) < 1e-12, 1e-12, denom)
+            pts = origin[None, None, :] + lam_g[..., None] * dirs_w
+            u_t = (pts @ g.e1) * g.tex_scale + self.tex.shape[1] / 2
+            v_t = (pts @ g.e2) * g.tex_scale + self.tex.shape[0] / 2
+            img = _bilinear(self.tex, u_t, v_t)
+            ok_g = (lam_g > 0.0) & (lam_g < g.max_range)
+            img = np.where(ok_g, img, 0.0)
+            best_lam = np.where(ok_g, lam_g, np.inf)
+            dz = dirs_w[..., 2]
+            for i in range(len(self.bz)):
+                # project the quad's corners to bound the affected pixel
+                # window (boards cover a tiny screen area; evaluating the
+                # hit math full-frame per board dominates render time)
+                cs = np.array([
+                    [self.bx[i] + sx * self.bs[i], self.by[i] + sy * self.bs[i],
+                     self.bz[i]]
+                    for sx in (-1, 1) for sy in (-1, 1)])
+                cc = (cs - origin) @ R
+                if (cc[:, 2] < 0.1).all():
+                    continue
+                if (cc[:, 2] > 0.1).all():
+                    uc = fx * cc[:, 0] / cc[:, 2] + cx
+                    vc = fy * cc[:, 1] / cc[:, 2] + cy
+                    x0 = max(int(np.floor(uc.min())) - 2, 0)
+                    x1 = min(int(np.ceil(uc.max())) + 2, w)
+                    y0 = max(int(np.floor(vc.min())) - 2, 0)
+                    y1 = min(int(np.ceil(vc.max())) + 2, h)
+                    if x0 >= x1 or y0 >= y1:
+                        continue
+                else:
+                    x0, x1, y0, y1 = 0, w, 0, h  # crosses the near plane
+                sl = (slice(y0, y1), slice(x0, x1))
+                dzs = dz[sl]
+                lam = (self.bz[i] - origin[2]) / np.where(
+                    np.abs(dzs) < 1e-12, 1e-12, dzs)
+                px = origin[0] + lam * dirs_w[sl + (0,)]
+                py = origin[1] + lam * dirs_w[sl + (1,)]
+                hit = ((lam > 0.1) & (lam < best_lam[sl])
+                       & (np.abs(px - self.bx[i]) <= self.bs[i])
+                       & (np.abs(py - self.by[i]) <= self.bs[i]))
+                if not hit.any():
+                    continue
+                u_b = self.bmu[i] * (px - self.bx[i]) * self.bscale[i] \
+                    + self.bu[i]
+                v_b = self.bmv[i] * (py - self.by[i]) * self.bscale[i] \
+                    + self.bv[i]
+                img[sl] = np.where(hit, _bilinear(self.tex, u_b, v_b), img[sl])
+                best_lam[sl] = np.where(hit, lam, best_lam[sl])
+            return np.clip(np.rint(img), 0.0, 255.0).astype(np.uint8)
+
+        left = render_eye(cam.cx_l, cam.cy_l, cam.fx_l, cam.fy_l, t)
+        right_origin = t + R @ np.array([cam.baseline, 0.0, 0.0])
+        right = render_eye(cam.cx_r, cam.cy_r, cam.fx_r, cam.fy_r,
+                           right_origin)
         return left, right
