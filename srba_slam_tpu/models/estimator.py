@@ -266,9 +266,9 @@ class SRBAStereoSLAMEstimator:
             if nxt is not None and (self.vo.fast_th, self.vo.orb_th) != th_before:
                 nxt = self._dispatch_scan(*nxt_chunk, chain=disp)
             disp = nxt
+            n_spec_ins = sum(1 for c in self._spec if c["ins"])
             if self.general.max_num_kfs and \
-                    self.store.n_kfs + len(self._spec) >= \
-                    self.general.max_num_kfs:
+                    self.store.n_kfs + n_spec_ins >= self.general.max_num_kfs:
                 break
             if self.general.to_step and self.frame_idx >= self.general.to_step:
                 break
@@ -364,7 +364,11 @@ class SRBAStereoSLAMEstimator:
                 retry_j = int(below[0])
 
         if retry_j is not None:
-            # frames before the first sub-threshold frame are committed as-is
+            # frames before the first sub-threshold frame are committed as-is;
+            # the record's valid extent shrinks to the head so a later
+            # speculation-miss replay never walks into the discarded tail
+            # (those frames are re-processed by the re-dispatched scan below)
+            batch_rec["b"] = retry_j
             self._process_frames(batch_rec, 0, retry_j)
             if not eng.is_fast_th_min():
                 eng.set_fast_threshold(eng.fast_th - 10)

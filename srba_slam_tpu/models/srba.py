@@ -655,22 +655,6 @@ class SRBAEngine:
     def edge_pose(self) -> np.ndarray:
         return self._edge_pose[: self.n_edges]
 
-    @property
-    def lm_id2idx(self) -> dict:
-        """Compat view of the landmark id -> index lookup (prefer
-        ``lm_lookup``/``known_lm_ids`` in hot paths)."""
-        ids = np.nonzero(self._lm_lookup >= 0)[0]
-        return {int(i): int(self._lm_lookup[i]) for i in ids}
-
-    def lm_known_mask(self, lm_ids: np.ndarray) -> np.ndarray:
-        """Vectorized 'is this landmark id registered already'."""
-        lm_ids = np.asarray(lm_ids, np.int64)
-        in_range = lm_ids < self._lookup_cap
-        out = np.zeros(len(lm_ids), bool)
-        out[in_range] = self._lm_lookup[lm_ids[in_range]] >= 0
-        return out
-
-
 def _obs_as_arrays(observations):
     """Normalize either obs format to (lm_ids [N], px [N,3], rel_pos [N,3])."""
     if isinstance(observations, tuple) and len(observations) == 3 \

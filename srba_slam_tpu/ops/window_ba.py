@@ -372,33 +372,37 @@ def _optimize_window_impl(
         return cam_new, lm_new, ok
 
     def cond(carry):
-        _cam, _lm, _cost, _lam, _iters, it, stall = carry
-        # stop early once three consecutive attempts fail to improve the cost
-        # meaningfully (rejected steps or sub-1e-6 relative decreases) —
-        # typical windows converge in a handful of iterations and each LM
-        # iteration is the dominant per-insertion device cost
-        return (it < max_iters) & (stall < 3)
+        _cam, _lm, _cost, _lam, _iters, it, stall, rejects = carry
+        # stop early once ACCEPTED steps stop improving the cost meaningfully
+        # (sub-1e-6 relative decreases), or once a long unbroken streak of
+        # rejected steps shows the damping escalation is hopeless. Rejected
+        # steps alone must NOT count toward the convergence stall: a far
+        # initialization (loop-closure windows) can need several rejections
+        # while lambda climbs before the first accepted step.
+        return (it < max_iters) & (stall < 3) & (rejects < 6)
 
     def body(carry):
-        cam_pose, lm_pos, cost, lam, iters, it, stall = carry
+        cam_pose, lm_pos, cost, lam, iters, it, stall, rejects = carry
         cam_new, lm_new, ok = lm_step(cam_pose, lm_pos, lam)
         new_cost = cost_of(cam_new, lm_new)
         accept = ok & (new_cost < cost)
         improving = accept & (cost - new_cost > 1e-6 * cost)
-        stall = jnp.where(improving, 0, stall + 1)
+        stall = jnp.where(improving, 0,
+                          jnp.where(accept, stall + 1, stall))
+        rejects = jnp.where(accept, 0, rejects + 1)
         cam_pose = jnp.where(accept, cam_new, cam_pose)
         lm_pos = jnp.where(accept, lm_new, lm_pos)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.4, 1e-7),
                         jnp.minimum(lam * 6.0, 1e3))
         return (cam_pose, lm_pos, cost, lam,
-                iters + accept.astype(jnp.int32), it + 1, stall)
+                iters + accept.astype(jnp.int32), it + 1, stall, rejects)
 
-    cam_pose, lm_pos, cost, _, iters, _it, _stall = jax.lax.while_loop(
+    cam_pose, lm_pos, cost, _, iters, _it, _stall, _rej = jax.lax.while_loop(
         cond, body,
         (win.cam_pose, win.lm_pos, cost0, jnp.float32(init_lambda),
          jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-         jnp.asarray(0, jnp.int32)),
+         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
     )
 
     r, *_ = _project_residuals(cam_pose, lm_pos, win.lm_base, win.obs_cam,

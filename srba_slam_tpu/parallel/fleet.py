@@ -268,6 +268,7 @@ class FleetSLAM:
             if p:
                 e.rba.commit_pending(pulled[off:off + len(p)])
                 off += len(p)
+                e._reanchor_if_dirty()
 
         for (i, force_new_kf, res) in checks:
             e = self.ests[i]
