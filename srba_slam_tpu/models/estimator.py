@@ -10,8 +10,11 @@ final global pose-graph optimization and trajectory outputs.
 Host code here is orchestration only — every hot stage (frontend extraction,
 tracking/solving, BoW scoring, DA cascade, window BA, pose graph) is one of
 the fixed-shape jitted device programs from ``srba_slam_tpu.ops`` /
-``srba_slam_tpu.models``. Branch decisions use a handful of scalars pulled
-from device per frame.
+``srba_slam_tpu.models``. In batched mode the host blocks on the device
+exactly once per frame batch: keyframe checks are dispatched speculatively
+(outcome predicted, device rows written ahead, decisions retro-applied —
+see the "speculative KF checks" section below) and SRBA window solves
+queue until the next bulk pull.
 """
 
 from __future__ import annotations
@@ -184,6 +187,7 @@ class SRBAStereoSLAMEstimator:
         self._bp_live = False  # batch frames processed since the last sync
         self._da_dead = False  # appearance regime: does DA fail even at
         # short range? (learned from non-forced checks; the predictor)
+        self._replay_flag = False  # set by _miss_recover; callers inspect
         self._pose_dirty = False
         self.kf_stats: list[TStatsSRBA] = []
         self.step_log: list[StepResult] = []
@@ -220,7 +224,11 @@ class SRBAStereoSLAMEstimator:
         inserts; results are identical to per-frame stepping (asserted by
         tests/test_batch_mode.py, including the speculation-miss replay)."""
         assert self._initialized, "call initialize() first"
-        it = iter(frame_source)
+        import itertools
+
+        stashed = getattr(self, "_stashed_frames", None) or []
+        self._stashed_frames = None
+        it = itertools.chain(iter(stashed), iter(frame_source))
         if self.store.n_kfs == 0 or self.vo._prev is None:
             # first frame bootstraps KF0 through the normal path; a resumed
             # run (checkpoint restores SLAM state but not the last frame's
@@ -255,6 +263,7 @@ class SRBAStereoSLAMEstimator:
         # held by the dispatch record, so the re-dispatch costs no transfer).
         cur_chunk = take()
         disp = self._dispatch_scan(*cur_chunk) if cur_chunk else None
+        nxt_chunk = None
         while disp is not None:
             nxt_chunk = take()
             nxt = (
@@ -264,6 +273,13 @@ class SRBAStereoSLAMEstimator:
             th_before = (self.vo.fast_th, self.vo.orb_th)
             self._process_scan(disp)
             if nxt is not None and (self.vo.fast_th, self.vo.orb_th) != th_before:
+                # NOTE: in a regime where matches hover just under
+                # 1.2*adaptive_th the +-5 drift fires every batch and this
+                # re-dispatch discards one speculative scan per batch
+                # (double frontend compute). Accepted: the prefetch's upload
+                # overlap matters more in the common healthy regime, and
+                # dispatching only after processing would serialize the
+                # upload behind the pull everywhere.
                 nxt = self._dispatch_scan(*nxt_chunk, chain=disp)
             disp = nxt
             n_spec_ins = sum(1 for c in self._spec if c["ins"])
@@ -272,7 +288,14 @@ class SRBAStereoSLAMEstimator:
                 break
             if self.general.to_step and self.frame_idx >= self.general.to_step:
                 break
+            nxt_chunk = None
         self._finish_batched()
+        if nxt_chunk is not None:
+            # a stop condition fired with a prefetched-but-unprocessed chunk
+            # in hand: stash it so callers sharing the frame iterator (or a
+            # follow-up perform call) don't silently lose up to `batch`
+            # frames to the prefetch
+            self._stashed_frames = list(zip(*nxt_chunk))
         return self.step_log
 
     def step_batch(self, lefts: np.ndarray, rights: np.ndarray):
@@ -378,12 +401,13 @@ class SRBAStereoSLAMEstimator:
             # features (device slice) and its pose increment
             if retry_j > 0:
                 chain_feat = _slice_frame(feats, jnp.int32(retry_j - 1))
-                inc = self.vo._last_pose_inc
+                # fall back to THIS dispatch's chain start (not the engine's
+                # last increment, which is stale inside a nested retry)
+                inc = jnp.asarray(disp["prev_inc"], jnp.float32)
                 for jj in range(retry_j):
                     if bool(pose_valid[jj]):
-                        inc = poses[jj].astype(np.float32)
-                chain = {"last_feat": chain_feat,
-                         "last_inc": jnp.asarray(inc, jnp.float32)}
+                        inc = jnp.asarray(poses[jj].astype(np.float32))
+                chain = {"last_feat": chain_feat, "last_inc": inc}
             else:
                 chain = {"last_feat": disp["prev_feat"],
                          "last_inc": disp["prev_inc"]}
@@ -473,6 +497,19 @@ class SRBAStereoSLAMEstimator:
             res.kf_check = True
             self.incr_from_last_check = np.zeros(6)
             frame_j = _slice_frame(feats, jnp.int32(j))  # ONE dispatch
+            if defer and self.store.n_kfs + sum(
+                    1 for x in self._spec if x["ins"]) >= self.max_kfs:
+                # at keyframe capacity an insert prediction would write out
+                # of range: land the in-flight state and check synchronously
+                # (matching per-frame semantics, which only fail if a REAL
+                # insertion exceeds the capacity)
+                self._replay_flag = False
+                self._resolve_pending_checks()
+                if self._replay_flag:
+                    # a misprediction replayed this batch's tail (including
+                    # the current frame) with exact state — nothing left here
+                    return
+                defer = False
             if defer:
                 self._defer_check(frame_j, res, force_new_kf, batch_rec, j)
             else:
@@ -594,6 +631,7 @@ class SRBAStereoSLAMEstimator:
         with synchronous checks (later deferred checks were dropped by the
         caller; insert-speculated device rows are inert and will be
         overwritten by the next real insertions)."""
+        self._replay_flag = True
         snap = c["snap"]
         self.frame_idx = snap["frame_idx"]
         del self.step_log[snap["log_len"]:]

@@ -133,7 +133,8 @@ def extract_and_match(
             # the descriptor gathers / matcher broadcasts and recomputes it
             # per element (50 ms and 400 s compiles observed; ~2 ms with)
             ys, xs, sc, valid = jax.lax.optimization_barrier((ys, xs, sc, valid))
-            desc, _ = describe(cur_img, ys, xs, valid, oriented=oriented)
+            desc, _ = describe(cur_img, ys, xs, valid, oriented=oriented,
+                               patch_safe=margin >= 16)
             octv = jnp.full(kl, lvl, jnp.int32)
             per.append((ys << lvl, xs << lvl, sc, valid, desc, octv))
             if lvl + 1 < n_levels:

@@ -135,10 +135,12 @@ def orientations(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
     return jnp.arctan2(m01, m10)
 
 
-@functools.partial(jax.jit, static_argnames=("oriented", "pattern"))
+@functools.partial(jax.jit,
+                   static_argnames=("oriented", "pattern", "patch_safe"))
 def describe(img: jax.Array, ys: jax.Array, xs: jax.Array, valid: jax.Array,
              oriented: bool = True, pattern: str = "opencv",
-             theta_override: jax.Array | None = None):
+             theta_override: jax.Array | None = None,
+             patch_safe: bool = True):
     """Compute 256-bit binary descriptors for K keypoints.
 
     Args:
@@ -156,6 +158,10 @@ def describe(img: jax.Array, ys: jax.Array, xs: jax.Array, valid: jax.Array,
       theta_override: optional [K] angles (radians) to steer with instead of
         the computed orientation — used by the cv2 parity tests and by
         callers that precompute orientation externally.
+      patch_safe: every valid keypoint is >= 16 px from the image borders
+        (true for the detector's default margin). Enables the block-gather
+        fast path for upright descriptors; pass False when keypoints may
+        sit closer to the border.
 
     Returns:
       (desc, theta): uint32[K, 8] packed descriptors, [K] orientations.
@@ -163,7 +169,7 @@ def describe(img: jax.Array, ys: jax.Array, xs: jax.Array, valid: jax.Array,
     img = img.astype(jnp.float32)
     blurred = gauss_blur7(img) if pattern == "opencv" else box_blur5(img)
 
-    if theta_override is None and not oriented:
+    if theta_override is None and not oriented and patch_safe:
         # FAST PATH (the VO frontend's): upright tests sample at FIXED
         # integer offsets, so instead of 512 random point-gathers per
         # keypoint (random HBM access dominates the whole frontend on TPU),
@@ -171,8 +177,11 @@ def describe(img: jax.Array, ys: jax.Array, xs: jax.Array, valid: jax.Array,
         # -> a structured gather of contiguous blocks) and do the 256
         # comparisons as constant-index takes inside the patch. The sampled
         # pixels are identical, so the descriptors are bit-identical to the
-        # general path below. The detector margin (16 px) guarantees every
-        # patch is fully inside the image — no clipping semantics to match.
+        # general path below — PROVIDED every keypoint is >= 16 px from the
+        # borders (patch_safe; the detector margin guarantees it). Callers
+        # with closer keypoints must pass patch_safe=False: dynamic_slice's
+        # boundary clamp would shift the whole patch where the general path
+        # clips per sample.
         from srba_slam_tpu.ops.bits import pack_bits
 
         r = 16

@@ -133,8 +133,15 @@ class FleetSLAM:
         """Advance every sequence by one frame (lockstep)."""
         S = len(self.ests)
         assert len(frames) == S
+        # lockstep requires homogeneous estimator state: all bootstrapped or
+        # none (a mixed fleet would double-bootstrap some sequences and
+        # crash stacking others' empty frame state)
+        boot = [e.store.n_kfs == 0 or e.vo._prev is None for e in self.ests]
+        assert all(boot) or not any(boot), (
+            "fleet estimators must be in the same lifecycle state "
+            f"(needs-bootstrap flags: {boot})")
         # first-frame bootstrap goes through each estimator's normal path
-        if self.ests[0].store.n_kfs == 0:
+        if boot[0]:
             for e, (l, r) in zip(self.ests, frames):
                 e.step(l, r)
             return
@@ -191,6 +198,12 @@ class FleetSLAM:
 
         # --- per-sequence host bookkeeping (mirrors the estimator's
         #     per-frame logic exactly)
+        # KNOWN DEBT: this block re-implements the id-chain/trigger protocol
+        # that also lives in StereoVOEngine.process_stereo_pair and in the
+        # estimator's backpointer loop; changes to the trigger or retry
+        # semantics must be applied in all three places (the parity tests
+        # in tests/test_parallel.py and tests/test_batch_mode.py catch
+        # drift between them)
         checks = []  # (seq index, force_new_kf, StepResult)
         for i, e in enumerate(self.ests):
             e.frame_idx += 1
@@ -244,10 +257,18 @@ class FleetSLAM:
                               *[e.store.arrays for e in self.ests])
         dbs = jnp.stack([e.bow._db for e in self.ests])
         n_kfs = jnp.asarray([e.store.n_kfs for e in self.ests], jnp.int32)
+        # advance the DA key ONLY for sequences that actually check this
+        # step (their rows are the only consumed results) — otherwise a
+        # sequence's RNG stream would depend on its fleet-mates' checks and
+        # diverge from the same sequence run solo
+        checking = {i for (i, _f, _r) in checks}
         keys = []
-        for e in self.ests:
-            e._da_key, sub = jax.random.split(e._da_key)
-            keys.append(sub)
+        for i, e in enumerate(self.ests):
+            if i in checking:
+                e._da_key, sub = jax.random.split(e._da_key)
+                keys.append(sub)
+            else:
+                keys.append(e._da_key)  # computed-but-ignored row
         keys = jnp.stack(keys)
         # the DA change-in-pose solves seed themselves on device (Horn 3D-3D
         # inside the cascade) — no per-sequence host seeds ride along

@@ -168,3 +168,23 @@ def load_state(est, path: str):
     # KF ID set is rebuilt from the last stored keyframe
     last_ids = store.match_ids[store.n_kfs - 1] if store.n_kfs else []
     est.vo._kf_id_set = set(int(i) for i in last_ids if i >= 0)
+    # a checkpoint carries no in-flight frame features or speculative state:
+    # clear the pre-load run's runtime remnants so an IN-PLACE restore (same
+    # estimator object) behaves exactly like restoring into a fresh one —
+    # stale vo._prev/_prev_ids would otherwise skip the re-bootstrap and
+    # produce bogus backpointer chains against the restored keyframe store
+    est.vo._prev = None
+    est.vo._cur = None
+    est.vo._prev_ids = np.full(est.capacity, -1, np.int64)
+    est.vo._cur_ids = None
+    est.vo._last_pose_inc = np.zeros(6, np.float32)
+    est._spec = []
+    est._bp = None
+    est._ref_ids = None
+    est._last_m_valid = None
+    est._bp_live = False
+    est._da_dead = False
+    est._pose_dirty = False
+    est.step_log = []
+    est.query_log = []
+    est.kf_stats = []

@@ -13,10 +13,17 @@ import numpy as np
 
 
 def render_map_png(path: str, poses: np.ndarray, landmarks=None,
-                   gt_poses=None, query_scores=None, query_score_th=None):
-    """Top-down (x-z) map: trajectory, landmarks, optional ground truth and
-    the latest BoW query-score bars with the 'lost camera?' threshold line
-    (≙ show_kf_numbers, reference utils.cpp:101-151)."""
+                   gt_poses=None, query_scores=None, query_score_th=None,
+                   plane=(0, 1)):
+    """Top-down map: trajectory, landmarks, optional ground truth and the
+    latest BoW query-score bars with the 'lost camera?' threshold line
+    (≙ show_kf_numbers, reference utils.cpp:101-151).
+
+    ``plane`` selects the two translation components to plot. The default
+    (0, 1) = world x-y is the ground plane of ROBOT-frame trajectories
+    (the sensor extrinsic's axis swap puts forward in world x, lateral in
+    world y, height in world z — estimator.finalize outputs these); pass
+    (0, 2) for raw camera-frame poses (x-z)."""
     try:
         import matplotlib
         matplotlib.use("Agg")
@@ -24,6 +31,7 @@ def render_map_png(path: str, poses: np.ndarray, landmarks=None,
     except Exception:
         return False
 
+    a0, a1 = plane
     fig, axes = plt.subplots(
         1, 2 if query_scores is not None else 1,
         figsize=(11, 6) if query_scores is not None else (7, 6),
@@ -31,12 +39,14 @@ def render_map_png(path: str, poses: np.ndarray, landmarks=None,
     ax = axes[0] if query_scores is not None else axes
     if landmarks is not None and len(landmarks):
         lm = np.asarray(landmarks)
-        ax.scatter(lm[:, 0], lm[:, 2], s=1, c="0.75", label="landmarks")
-    ax.plot(poses[:, 3], poses[:, 5], "r.-", lw=1.2, ms=4, label="keyframes")
+        ax.scatter(lm[:, a0], lm[:, a1], s=1, c="0.75", label="landmarks")
+    ax.plot(poses[:, 3 + a0], poses[:, 3 + a1], "r.-", lw=1.2, ms=4,
+            label="keyframes")
     if gt_poses is not None:
-        ax.plot(gt_poses[:, 3], gt_poses[:, 5], "g--", lw=1, label="ground truth")
-    ax.set_xlabel("x [m]")
-    ax.set_ylabel("z [m]")
+        ax.plot(gt_poses[:, 3 + a0], gt_poses[:, 3 + a1], "g--", lw=1,
+                label="ground truth")
+    ax.set_xlabel("xyz"[a0] + " [m]")
+    ax.set_ylabel("xyz"[a1] + " [m]")
     ax.set_aspect("equal")
     ax.legend(loc="best", fontsize=8)
     ax.set_title("srba_slam_tpu map (top-down)")
