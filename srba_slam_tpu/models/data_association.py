@@ -217,6 +217,22 @@ def _da_single(
         )
         pose, pose_ok, mean_res = sol.pose, sol.valid, sol.mean_residual
         ok = jnp.where(pose_ok, sol.inliers, jnp.zeros_like(keep))
+        # depth-consistency gate (robustness beyond the reference cascade):
+        # the pixel residual barely constrains DEPTH at range — a 1 m depth
+        # error at 20 m is under 1 px of disparity — so aliased matches
+        # between different physical structures at different depths pass the
+        # residual gate with multi-meter 3D error and then corrupt the
+        # bundle adjustment. Gate on predicted-vs-triangulated depth with a
+        # stereo-noise-proportional tolerance (sigma_z ~ z^2 * sigma_d /
+        # (fx*b), sigma_d = 2 px, 4-sigma + 0.5 m floor).
+        from srba_slam_tpu.utils import se3 as _se3
+
+        p_pred = _se3.transform_points(pose, opts3d[oidx])
+        z = jnp.maximum(cur.pts3d[:, 2], 0.5)
+        depth_sig = z * z * 2.0 / (cam.fx_l * cam.baseline)
+        ok3d = jnp.abs(p_pred[:, 2] - cur.pts3d[:, 2]) <= \
+            4.0 * depth_sig + 0.5
+        ok = ok & ok3d
         status = jnp.where(keep & ~ok, S_REJ_CHANGE_POSE, status).astype(jnp.int8)
         keep = keep & ok
 

@@ -254,33 +254,24 @@ class SRBAStereoSLAMEstimator:
                 return None
             return np.stack(lefts), np.stack(rights)
 
-        # software pipeline: batch n+1's VO scan is DISPATCHED (async, free)
-        # before batch n's results are processed, so its device compute
-        # overlaps the host-side keyframe logic. The adaptive detector
-        # thresholds stay batch-lagged by exactly one batch: if processing
-        # batch n changes them, the speculative dispatch is discarded and
-        # re-issued with the new thresholds (chain inputs are device arrays
-        # held by the dispatch record, so the re-dispatch costs no transfer).
+        # software pipeline: batch n+1's VO scan is dispatched from INSIDE
+        # batch n's _process_scan, immediately after batch n's pull and
+        # threshold drift — so the next batch always launches with its final
+        # thresholds (no speculative scan to discard when the adaptive drift
+        # fires; matches hovering around 1.2*adaptive_th made that discard
+        # happen EVERY batch) while its upload and device compute still
+        # overlap all of batch n's keyframe logic and batch n+1's pull wait.
         cur_chunk = take()
         disp = self._dispatch_scan(*cur_chunk) if cur_chunk else None
         nxt_chunk = None
         while disp is not None:
             nxt_chunk = take()
-            nxt = (
-                self._dispatch_scan(*nxt_chunk, chain=disp)
-                if nxt_chunk else None
-            )
-            th_before = (self.vo.fast_th, self.vo.orb_th)
-            self._process_scan(disp)
-            if nxt is not None and (self.vo.fast_th, self.vo.orb_th) != th_before:
-                # NOTE: in a regime where matches hover just under
-                # 1.2*adaptive_th the +-5 drift fires every batch and this
-                # re-dispatch discards one speculative scan per batch
-                # (double frontend compute). Accepted: the prefetch's upload
-                # overlap matters more in the common healthy regime, and
-                # dispatching only after processing would serialize the
-                # upload behind the pull everywhere.
-                nxt = self._dispatch_scan(*nxt_chunk, chain=disp)
+
+            def next_fn(chain_disp, nc=nxt_chunk):
+                return self._dispatch_scan(*nc, chain=chain_disp)
+
+            nxt = self._process_scan(
+                disp, next_fn if nxt_chunk is not None else None)
             disp = nxt
             n_spec_ins = sum(1 for c in self._spec if c["ins"])
             if self.general.max_num_kfs and \
@@ -339,7 +330,7 @@ class SRBAStereoSLAMEstimator:
                     b=lefts.shape[0], lefts=lefts, rights=rights,
                     prev_feat=prev_feat, prev_inc=prev_inc)
 
-    def _process_scan(self, disp: dict):
+    def _process_scan(self, disp: dict, next_fn=None):
         """Pull one dispatched batch and run the per-frame keyframe logic.
 
         ONE blocking transfer serves three purposes: this batch's VO
@@ -353,7 +344,13 @@ class SRBAStereoSLAMEstimator:
         move, the detector thresholds are adjusted and the batch TAIL from
         that frame on is re-dispatched and re-processed at the new
         thresholds — the same frames the per-frame mode would re-process
-        with the ``repeat`` request."""
+        with the ``repeat`` request.
+
+        ``next_fn(chain_disp)``, when given, dispatches the NEXT batch's
+        scan; it is invoked exactly once, right after this batch's healthy
+        threshold drift is applied (so the next scan always launches with
+        final thresholds — no speculative dispatch to discard) and chained
+        on the final scan state. Returns that dispatch (or None)."""
         b = disp["b"]
         eng = self.vo
         last_feat, last_inc = disp["last_feat"], disp["last_inc"]
@@ -414,12 +411,24 @@ class SRBAStereoSLAMEstimator:
             tail = self._dispatch_scan(
                 np.asarray(disp["lefts"])[retry_j:],
                 np.asarray(disp["rights"])[retry_j:], chain=chain)
-            self._process_scan(tail)  # may retry again at lower thresholds
-            # propagate the tail's chain end so a prefetched next batch is
-            # re-dispatched from the correct state
+            # the tail's processing dispatches the next batch (thresholds
+            # final there); may retry again at lower thresholds
+            nxt = self._process_scan(tail, next_fn)
             disp["last_feat"] = tail["last_feat"]
             disp["last_inc"] = tail["last_inc"]
-            return
+            return nxt
+
+        # healthy-threshold drift (≙ the post-retry adjustments of
+        # .cpp:271-314, applied at batch granularity) BEFORE launching the
+        # next batch — nothing below reads the detector thresholds
+        min_matches = int(n_per.min()) if b else self.capacity
+        if min_matches < 1.2 * th:
+            eng.set_fast_threshold(eng.fast_th - 5)
+        else:
+            if eng.fast_th < eng.fast_th_max:
+                eng.set_fast_threshold(eng.fast_th + 5)
+            eng.reset_orb_threshold()
+        nxt = next_fn(disp) if next_fn is not None else None
 
         self._process_frames(batch_rec, 0, b)
 
@@ -429,16 +438,7 @@ class SRBAStereoSLAMEstimator:
         eng._prev = last_feat
         eng._cur = last_feat
         eng._last_pose_inc = np.asarray(last_inc_h, np.float32)
-
-        # healthy-threshold drift (≙ the post-retry adjustments of
-        # .cpp:271-314, applied at batch granularity)
-        min_matches = int(n_per.min()) if b else self.capacity
-        if min_matches < 1.2 * th:
-            eng.set_fast_threshold(eng.fast_th - 5)
-        else:
-            if eng.fast_th < eng.fast_th_max:
-                eng.set_fast_threshold(eng.fast_th + 5)
-            eng.reset_orb_threshold()
+        return nxt
 
     def _process_frames(self, batch_rec: dict, j0: int, j1: int,
                         defer: bool = True):

@@ -224,10 +224,40 @@ def _optimize_window_impl(
     free_cam = win.cam_valid & (jnp.arange(C) != 0)          # [C]
     free6 = jnp.repeat(free_cam, 6)                           # [6C]
 
+    # Pose prior anchoring every free camera to its spanning-tree INIT pose
+    # (a cheap proxy for the information of all observations OUTSIDE this
+    # window). Without it the older cameras in a window are bound to the new
+    # keyframe only through the handful of cross-keyframe observations: a
+    # small contaminated consensus in those (e.g. perceptually aliased
+    # matches that passed every DA filter) can FOLD the established map
+    # meters away while the robust kernel writes the true matches off as
+    # outliers. The prior makes such a fold cost ~(d/sigma)^2 while leaving
+    # centimeter refinements (and loop closures — whose window INIT already
+    # composes through the fresh closure edge, so the anchor is the
+    # reconciled geometry) essentially free. Units: twist rad / meters.
+    W_PRIOR_R = 1000.0   # (1/sigma^2) sigma ~ 0.03 rad
+    W_PRIOR_T = 100.0    # sigma ~ 0.1 m of unexplained drift per window
+    init_R, init_t = se3.exp(win.cam_pose)                   # [C,3,3], [C,3]
+
+    def prior_residual(cam_pose):
+        """Left-multiplicative twist from init to current, per camera."""
+        Rq, tq = se3.exp(cam_pose)
+        dR = jnp.einsum("cij,ckj->cik", Rq, init_R, precision=_HI)
+        w = jax.vmap(se3.so3_log)(dR)                        # [C,3]
+        dt = tq - jnp.einsum("cij,cj->ci", dR, init_t, precision=_HI)
+        return w, dt
+
+    def prior_cost(cam_pose):
+        w, dt = prior_residual(cam_pose)
+        m = free_cam.astype(jnp.float32)
+        return jnp.sum(m * (W_PRIOR_R * jnp.sum(w * w, -1)
+                            + W_PRIOR_T * jnp.sum(dt * dt, -1)))
+
     def cost_of(cam_pose, lm_pos):
         r, *_ = _project_residuals(cam_pose, lm_pos, win.lm_base, win.obs_cam,
                                    win.obs_lm, win.obs_px, cam)
-        return _robust_cost(r, obs_w, kernel_param, use_kernel)
+        return _robust_cost(r, obs_w, kernel_param, use_kernel) \
+            + prior_cost(cam_pose)
 
     cost0 = cost_of(win.cam_pose, win.lm_pos)
 
@@ -330,6 +360,14 @@ def _optimize_window_impl(
         wJC = JC * w[:, None, None]
 
         g_c, g_l, Hcc, Hcl, Hll = _assemble(r, wJA, wJB, wJC, JA, JB, JC)
+        # init-anchor prior: residual is the left twist from init; its
+        # Jacobian wrt the left-multiplicative step is ~identity
+        pw, pdt = prior_residual(cam_pose)
+        prior_w6 = jnp.concatenate([jnp.full((3,), W_PRIOR_R, jnp.float32),
+                                    jnp.full((3,), W_PRIOR_T, jnp.float32)])
+        g_c = g_c + jnp.concatenate([pw, pdt], -1) * prior_w6[None, :]
+        diag_idx = jnp.arange(C) * C + jnp.arange(C)
+        Hcc = Hcc.at[diag_idx].add(jnp.diag(prior_w6)[None, :, :])
         # LM damping + keep padded landmarks fully determined
         Hll = Hll + (lam + 1e-6) * jnp.eye(3)[None]
         Hll = jnp.where(lm_w[:, None, None] > 0, Hll, jnp.eye(3)[None])
