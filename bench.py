@@ -6,40 +6,44 @@ canonical benchmark geometry (1226x370, KITTI calibration, 500-feature
 budget — demo/config_imgdir_kitti_srba.ini), on whatever accelerator JAX
 provides (the tunneled TPU under the driver; CPU as fallback).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is measured fps divided by 15 fps — the assumed
-single-thread CPU throughput of the reference app at this configuration
-(the reference publishes no numbers, BASELINE.md; 10-20 fps is the typical
-range for single-thread ORB stereo VO + SRBA at 1226x370 with 500
-features). The driver's north star is vs_baseline >= 10.
+Prints ONE json line. ``value`` is the MEDIAN fps over the repeats (the
+defensible number on a runtime with 2x run-to-run contention spread);
+``best`` is the best contiguous window. Baseline provenance:
+
+* ``cpu_fps`` — MEASURED single-core CPU throughput of this same pipeline
+  on this host (per-frame stepping, XLA CPU backend, 1 core), the honest
+  lower-bound anchor for what a CPU build of the reference could do here.
+  Measured in a subprocess and cached in bench_cpu_anchor.json (delete the
+  file to re-measure).
+* ``vs_baseline`` — median fps / 15 fps, where 15 fps is an ASSUMED
+  single-thread throughput of the reference C++ app at this configuration
+  on a desktop CPU (the reference publishes no numbers and cannot be built
+  here — BASELINE.md); ``vs_baseline_provenance`` labels this.
+* ``vs_cpu_anchor`` — median fps / cpu_fps, fully measured.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
-
-BASELINE_FPS = 15.0
+BASELINE_FPS = 15.0          # ASSUMED reference-CPU fps (see module docstring)
 BATCH = 15
-WARMUP_FRAMES = 1 + BATCH  # bootstrap frame + one full batch (scan compile)
+WARMUP_FRAMES = 1 + BATCH    # bootstrap frame + one full batch (scan compile)
 TIMED_FRAMES = 60
-REPEATS = 5  # the tunneled TPU pool has stochastic multi-second contention
-             # stalls (observed 2x spread between identical runs); repeats
-             # are spaced out and the best contiguous window is reported as
-             # achievable perf (median_fps alongside)
+REPEATS = 5                  # the tunneled TPU pool has stochastic contention
 REPEAT_GAP_S = 3.0
+CPU_ANCHOR_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_cpu_anchor.json")
+CPU_ANCHOR_FRAMES = 10
 
 
-def main():
-    import jax
-
-    from srba_slam_tpu.config import (
-        GeneralOptions, SRBAStereoSLAMOptions, VOOptions,
-    )
-    from srba_slam_tpu.models.estimator import SRBAStereoSLAMEstimator
+def _build_workload():
     from srba_slam_tpu.utils.camera import StereoCamera
     from srba_slam_tpu.utils.framesource import SyntheticSource
 
@@ -51,31 +55,92 @@ def main():
     # see utils/synthworld.StreetScene)
     src = SyntheticSource(cam, n_frames=n_frames, seed=11, step=0.8,
                           scene="street")
-    frames = list(src)  # pre-render so host rendering never pollutes timing
+    return cam, list(src)  # pre-render so host rendering never pollutes timing
 
-    def build():
-        opts = SRBAStereoSLAMOptions(
-            camera=cam, n_feats=500, detect_fast_th=20,
-            adaptive_th_min_matches=100,
-            max_translation=2.0, max_rotation=25.0,
-            updated_matches_th=60, vo_id_tracking_th=40,
-            srba_submap_size=10, srba_max_tree_depth=4,
-            srba_max_optimize_depth=5,
-            srba_kernel_param=1.5, da_filter_by_direction=False,
-            residual_th=30.0,
+
+def _build_estimator(cam):
+    from srba_slam_tpu.config import (
+        GeneralOptions, SRBAStereoSLAMOptions, VOOptions,
+    )
+    from srba_slam_tpu.models.estimator import SRBAStereoSLAMEstimator
+
+    opts = SRBAStereoSLAMOptions(
+        orb_adaptive_fast_th=True,
+        camera=cam, n_feats=500, detect_fast_th=20,
+        adaptive_th_min_matches=100,
+        max_translation=2.0, max_rotation=25.0,
+        updated_matches_th=60, vo_id_tracking_th=40,
+        srba_submap_size=10, srba_max_tree_depth=4,
+        srba_max_optimize_depth=5,
+        srba_kernel_param=1.5,
+        # reference parity: the canonical KITTI config enables the
+        # direction filter (demo/config_imgdir_kitti_srba.ini:124); the
+        # round-3 stacked-image-slope binning made it forward-motion-safe
+        da_filter_by_direction=True,
+        residual_th=30.0,
+    )
+    est = SRBAStereoSLAMEstimator(
+        GeneralOptions(), opts, VOOptions(fast_th=20, n_feats=500),
+        capacity=512, max_kfs=128,
+    )
+    est.initialize()
+    return est
+
+
+def cpu_anchor():
+    """Measure the per-frame pipeline on the XLA CPU backend (1 core) and
+    print one JSON line {"cpu_fps": X}. Run in a subprocess by main()."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    cam, frames = _build_workload()
+    frames = frames[: 3 + CPU_ANCHOR_FRAMES]
+    est = _build_estimator(cam)
+    for left, right in frames[:3]:          # compile + warm
+        est.step(left, right)
+    est.rba.flush()
+    t0 = time.perf_counter()
+    for left, right in frames[3:]:
+        est.step(left, right)
+    est.rba.flush()
+    dt = time.perf_counter() - t0
+    print(json.dumps({"cpu_fps": round(CPU_ANCHOR_FRAMES / dt, 3)}))
+
+
+def _get_cpu_anchor() -> float | None:
+    if os.path.exists(CPU_ANCHOR_CACHE):
+        try:
+            return float(json.load(open(CPU_ANCHOR_CACHE))["cpu_fps"])
+        except Exception:
+            pass
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-anchor"],
+            capture_output=True, text=True, timeout=540,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
         )
-        est = SRBAStereoSLAMEstimator(
-            GeneralOptions(), opts, VOOptions(fast_th=20, n_feats=500),
-            capacity=512, max_kfs=128,
-        )
-        est.initialize()
-        return est
+        val = float(json.loads(out.stdout.strip().splitlines()[-1])["cpu_fps"])
+        json.dump({"cpu_fps": val,
+                   "provenance": "measured: per-frame pipeline, XLA CPU "
+                                 "backend, 1 core, street workload "
+                                 f"({CPU_ANCHOR_FRAMES} timed frames)"},
+                  open(CPU_ANCHOR_CACHE, "w"))
+        return val
+    except Exception:
+        return None
+
+
+def main():
+    import jax
+
+    cam, frames = _build_workload()
+    cpu_fps = _get_cpu_anchor()
 
     dts = []
     for _rep in range(REPEATS):
         if _rep:
             time.sleep(REPEAT_GAP_S)  # decorrelate from contention bursts
-        est = build()  # fresh SLAM state; jit caches persist across repeats
+        est = _build_estimator(cam)  # fresh state; jit caches persist
         est.perform_stereo_slam_batched(frames[:WARMUP_FRAMES], batch=BATCH)
         est.rba.flush()
         jax.block_until_ready(est.vo.last_frame().desc_l)
@@ -87,8 +152,7 @@ def main():
         jax.block_until_ready(est.vo.last_frame().desc_l)
         dts.append(time.perf_counter() - t0)
 
-    best_dt = min(dts)
-    fps = TIMED_FRAMES / best_dt
+    best_fps = TIMED_FRAMES / min(dts)
     median_fps = TIMED_FRAMES / sorted(dts)[len(dts) // 2]
 
     # secondary: device-resident throughput — frames pre-staged on device,
@@ -100,7 +164,7 @@ def main():
     for _rep in range(3):
         if _rep:
             time.sleep(REPEAT_GAP_S)
-        est = build()
+        est = _build_estimator(cam)
         est.perform_stereo_slam_batched(frames[:WARMUP_FRAMES], batch=BATCH)
         est.rba.flush()
         chunks = []
@@ -123,13 +187,22 @@ def main():
     backend = jax.devices()[0].platform
     print(json.dumps({
         "metric": f"kitti_synth_e2e_fps_per_chip[{backend}]",
-        "value": round(fps, 2),
+        "value": round(median_fps, 2),           # MEDIAN (headline)
         "unit": "frames/sec",
-        "vs_baseline": round(fps / BASELINE_FPS, 2),
-        "median_fps": round(median_fps, 2),
+        "vs_baseline": round(median_fps / BASELINE_FPS, 2),
+        "vs_baseline_provenance":
+            "median fps / ASSUMED 15 fps reference-CPU throughput "
+            "(reference publishes no numbers; BASELINE.md)",
+        "best": round(best_fps, 2),
+        "cpu_fps": None if cpu_fps is None else round(cpu_fps, 3),
+        "vs_cpu_anchor":
+            None if not cpu_fps else round(median_fps / cpu_fps, 2),
         "device_resident_fps": round(dev_fps, 2),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--cpu-anchor" in sys.argv:
+        cpu_anchor()
+    else:
+        main()

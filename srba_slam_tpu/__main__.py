@@ -44,12 +44,29 @@ def main(argv=None):
     est = SRBAStereoSLAMEstimator.from_config(args.config)
     est.initialize()
     print(f"[srba_slam_tpu] backend: {jax.devices()[0].platform}", flush=True)
+    if est.general.verbose_level >= 1:
+        from srba_slam_tpu.config import dump_options
 
-    if args.resume:
+        print(dump_options(est.general, est.opts, est.vo_opts))
+        if est.general.pause_after_show_op and sys.stdin is not None \
+                and sys.stdin.isatty():
+            # ≙ pause_after_show_op -> system::pause() after the option
+            # dumps (reference utils.h:213, :482)
+            input("Press <enter> to continue...")
+
+    # config-driven state restore (≙ load_state_from_file/state_file,
+    # reference utils.h:103-104,157-165 — the mutual exclusion with
+    # save_state_to_file is applied at config load); the CLI --resume flag
+    # takes precedence
+    resume_path = args.resume or (
+        est.general.state_file
+        if est.general.load_state_from_file and est.general.state_file
+        else "")
+    if resume_path:
         from srba_slam_tpu.utils.checkpoint import load_state
 
-        load_state(est, args.resume)
-        print(f"[srba_slam_tpu] resumed from {args.resume} "
+        load_state(est, resume_path)
+        print(f"[srba_slam_tpu] resumed from {resume_path} "
               f"({est.store.n_kfs} KFs)")
 
     if args.synthetic:
@@ -86,6 +103,10 @@ def main(argv=None):
     batch = args.batch
     if batch == 0:
         batch = 8 if jax.devices()[0].platform != "cpu" else 1
+    if est.general.pause_at_each_iteration:
+        # interactive per-frame pausing is incompatible with batched
+        # dispatch (≙ reference .cpp:934-935, a per-iteration pause)
+        batch = 1
     t0 = time.time()
     if batch > 1:
         log = est.perform_stereo_slam_batched(source, batch=batch)
@@ -137,11 +158,17 @@ def main(argv=None):
     if est.general.enable_logger:
         print(est.profiler.summary())
 
-    if args.checkpoint:
+    # config-driven state save (≙ save_state_to_file/state_file,
+    # reference utils.h:103-104,157-165); --checkpoint takes precedence
+    save_path = args.checkpoint or (
+        est.general.state_file
+        if est.general.save_state_to_file and est.general.state_file
+        else "")
+    if save_path:
         from srba_slam_tpu.utils.checkpoint import save_state
 
-        save_state(est, args.checkpoint)
-        print(f"[srba_slam_tpu] state saved to {args.checkpoint}")
+        save_state(est, save_path)
+        print(f"[srba_slam_tpu] state saved to {save_path}")
     return 0
 
 

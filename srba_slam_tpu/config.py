@@ -121,8 +121,13 @@ class GeneralOptions:
         o.max_num_kfs = cfg.read_int(s, "max_num_kfs", o.max_num_kfs)
         o.from_step = cfg.read_int(s, "from_step", o.from_step)
         o.to_step = cfg.read_int(s, "to_step", o.to_step)
+        # mutual-exclusion rule ≙ reference utils.h:157-165: saving wins —
+        # load_state_from_file is only honored when save_state_to_file is off
         o.save_state_to_file = cfg.read_bool(s, "save_state_to_file", o.save_state_to_file)
-        o.load_state_from_file = cfg.read_bool(s, "load_state_from_file", o.load_state_from_file)
+        if o.save_state_to_file:
+            o.load_state_from_file = False
+        else:
+            o.load_state_from_file = cfg.read_bool(s, "load_state_from_file", o.load_state_from_file)
         o.state_file = cfg.read_string(s, "state_file", o.state_file)
         s = "IMG_SOURCE"
         o.cap_src = cfg.read_string(s, "grabber_type", o.cap_src)
@@ -182,6 +187,11 @@ class SRBAStereoSLAMOptions:
     # SRBA engine parameters mapped in at init (reference .cpp:1149-1160)
     min_obs_to_loop_closure: int = 50
     std_noise_pixels: float = 0.5
+    # framework extension (documented deviation from the reference SRBA
+    # objective): window-BA init-anchor prior weights; 0 disables — see
+    # ops/window_ba.py
+    anchor_prior_w_rot: float = 1000.0
+    anchor_prior_w_trans: float = 100.0
     # camera
     camera: StereoCamera = field(default_factory=StereoCamera.kitti)
     camera_pose_on_robot: list[float] = field(default_factory=lambda: [0.0] * 6)
@@ -202,6 +212,8 @@ class SRBAStereoSLAMOptions:
         o.srba_use_robust_kernel = cfg.read_bool(s, "srba_use_robust_kernel", o.srba_use_robust_kernel)
         o.srba_use_robust_kernel_stage1 = cfg.read_bool(s, "srba_use_robust_kernel_stage1", o.srba_use_robust_kernel_stage1)
         o.srba_kernel_param = cfg.read_float(s, "srba_kernel_param", o.srba_kernel_param)
+        o.anchor_prior_w_rot = cfg.read_float(s, "anchor_prior_w_rot", o.anchor_prior_w_rot)
+        o.anchor_prior_w_trans = cfg.read_float(s, "anchor_prior_w_trans", o.anchor_prior_w_trans)
         s = "SRBA_DETECT"
         o.n_feats = cfg.read_int(s, "n_feats", o.n_feats)
         o.detect_fast_th = cfg.read_int(s, "detect_fast_th", o.detect_fast_th)

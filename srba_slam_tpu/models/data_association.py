@@ -115,16 +115,27 @@ def _horn_seed(p_oth: jax.Array, p_cur: jax.Array, w0: jax.Array,
     return jnp.where(ok, pose, fallback)
 
 
-def _direction_filter(keep, cur_y, cur_x, oth_y, oth_x, oidx):
-    """Mode-bin direction histogram (36 bins of 10 degrees), mode ±1 kept."""
-    dy = cur_y.astype(jnp.float32) - oth_y[oidx].astype(jnp.float32)
-    dx = cur_x.astype(jnp.float32) - oth_x[oidx].astype(jnp.float32)
-    ang = jnp.arctan2(dy, dx)  # [-pi, pi]
-    bins = jnp.clip(((ang + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32), 0, 35)
+def _direction_filter(keep, cur_y, cur_x, oth_y, oth_x, oidx, img_h):
+    """Mode-bin direction histogram (36 bins of 10 degrees), mode ±1 kept.
+
+    EXACT reference binning (m_detect_outliers_with_direction, reference
+    .cpp:1883-1946 called with offset = image height at .cpp:1486): the
+    angle is ``atan((oy + H - ty)/(ox - tx))`` — the slope of the line
+    joining the match across VERTICALLY STACKED images, not the raw
+    displacement direction. The H offset dominates the numerator, which
+    makes the filter a gentle horizontal-consistency gate that tolerates
+    zoom/forward motion (raw atan2 binning — the round-2 implementation —
+    radiates around the FOE and wrongly kills most of a forward-motion
+    match set)."""
+    dy = oth_y[oidx].astype(jnp.float32) + img_h - cur_y.astype(jnp.float32)
+    dx = oth_x[oidx].astype(jnp.float32) - cur_x.astype(jnp.float32)
+    # (90, 270) degrees; dx=0 -> atan(+/-inf) -> +/-90
+    ang = jnp.degrees(jnp.arctan(dy / jnp.where(dx == 0, 1e-9, dx))) + 180.0
+    bins = jnp.clip((ang / 10.0).astype(jnp.int32), 0, 35)
     hist = jnp.zeros((36,), jnp.int32).at[bins].add(keep.astype(jnp.int32))
     mode = jnp.argmax(hist).astype(jnp.int32)
     diff = jnp.abs(bins - mode)
-    diff = jnp.minimum(diff, 36 - diff)  # circular
+    diff = jnp.minimum(diff, 36 - diff)  # circular (≙ the ibin_0/2 wraps)
     return diff <= 1
 
 
@@ -142,6 +153,7 @@ def _da_single(
     use_fund_matrix: bool,
     use_change_pose: bool,
     kernel_param: float,
+    ransac_n_hyp: int = 128,
     min_alive: int = 15,
 ):
     (oy_l, ox_l, _oval_l, odesc_l, _oy_r, oxr, _ovr, _odesc_r, om_ridx,
@@ -160,7 +172,8 @@ def _da_single(
 
     # filter 1: direction histogram
     if filter_by_direction:
-        ok = _direction_filter(keep, cur.ys_l, cur.xs_l, oy_l, ox_l, oidx)
+        ok = _direction_filter(keep, cur.ys_l, cur.xs_l, oy_l, ox_l, oidx,
+                               jnp.float32(cam.height))
         status = jnp.where(keep & ~ok, S_REJ_SLOPE, status).astype(jnp.int8)
         keep = keep & ok
 
@@ -183,7 +196,7 @@ def _da_single(
         inl, _cnt, _F = ransac_fundamental(
             cur.xs_l.astype(jnp.float32), cur.ys_l.astype(jnp.float32),
             ox_l[oidx].astype(jnp.float32), oy_l[oidx].astype(jnp.float32),
-            keep, key, threshold=max_y_diff_epipolar,
+            keep, key, threshold=max_y_diff_epipolar, n_hyp=ransac_n_hyp,
         )
         apply = n_alive >= min_alive
         ok = jnp.where(apply, inl, keep)
@@ -244,7 +257,7 @@ def _da_single(
 @functools.partial(
     jax.jit,
     static_argnames=("filter_by_direction", "use_fund_matrix", "use_change_pose",
-                     "n_query"),
+                     "n_query", "ransac_n_hyp"),
 )
 def query_and_associate(
     cur: FrameFeatures,
@@ -264,6 +277,7 @@ def query_and_associate(
     use_fund_matrix: bool = True,
     use_change_pose: bool = True,
     kernel_param: float = 2.0,
+    ransac_n_hyp: int = 128,
 ):
     """ONE dispatch for the whole keyframe check: BoW query (quantize +
     score + rank) AND the DA cascade against {previous KF} ∪ top-n_query BoW
@@ -305,13 +319,15 @@ def query_and_associate(
         use_fund_matrix=use_fund_matrix,
         use_change_pose=use_change_pose,
         kernel_param=kernel_param,
+        ransac_n_hyp=ransac_n_hyp,
     )
     return top_s, top_i, cand, da
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("filter_by_direction", "use_fund_matrix", "use_change_pose"),
+    static_argnames=("filter_by_direction", "use_fund_matrix", "use_change_pose",
+                     "ransac_n_hyp"),
 )
 def da_cascade(
     cur: FrameFeatures,
@@ -328,6 +344,7 @@ def da_cascade(
     use_fund_matrix: bool = True,
     use_change_pose: bool = True,
     kernel_param: float = 2.0,
+    ransac_n_hyp: int = 128,
 ) -> DAResult:
     """Run the full cascade of the current KF against S candidate KFs (rows
     gathered from the store inside the program — one dispatch total)."""
@@ -342,6 +359,7 @@ def da_cascade(
             cur, oth_row, ov, init, cam, kk,
             max_orb_distance_da, residual_th, max_y_diff_epipolar,
             filter_by_direction, use_fund_matrix, use_change_pose, kernel_param,
+            ransac_n_hyp=ransac_n_hyp,
         )
 
     status, oidx, tracked, pose, pose_ok, mean_res = jax.vmap(one)(

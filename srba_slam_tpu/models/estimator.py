@@ -89,6 +89,11 @@ class SRBAStereoSLAMEstimator:
         self.capacity = capacity
         self.max_kfs = max_kfs
         self.profiler = Profiler()
+        # strict solve scheduling: land every window solve immediately after
+        # its insertion (per-frame and batched modes then commit solves at
+        # IDENTICAL points, so poses — not just decisions — match to ~1e-5;
+        # the default pipelined scheduling trades that for throughput)
+        self.solve_sync = False
         self._initialized = False
 
     # ------------------------------------------------------------------ init
@@ -143,9 +148,12 @@ class SRBAStereoSLAMEstimator:
                 max_optimize_depth=o.srba_max_optimize_depth,
                 min_obs_to_loop_closure=o.min_obs_to_loop_closure,
                 use_robust_kernel=o.srba_use_robust_kernel,
+                use_robust_kernel_stage1=o.srba_use_robust_kernel_stage1,
                 kernel_param=o.srba_kernel_param,
                 std_noise_pixels=o.std_noise_pixels,
                 max_kfs=self.max_kfs,
+                anchor_prior_w_rot=o.anchor_prior_w_rot,
+                anchor_prior_w_trans=o.anchor_prior_w_trans,
             ),
             logger=VerboseLogger(self.general.verbose_level),
             on_commit=self._on_rba_commit,
@@ -175,6 +183,12 @@ class SRBAStereoSLAMEstimator:
         # hard force-limits are 2x — reference .cpp:1163-1164)
         self.updated_translation_th = float(self.opts.max_translation)
         self.updated_rotation_th = float(self.opts.max_rotation)
+        # RANSAC hypothesis budget from the configured confidence
+        # (≙ ransac_fit_prob -> cv::findFundamentalMat iterations,
+        # reference .cpp:2043)
+        from srba_slam_tpu.ops.ransac import hypotheses_for_prob
+
+        self._ransac_n_hyp = hypotheses_for_prob(self.opts.ransac_fit_prob)
         self.next_match_id = 0
         self.frame_idx = -1
         # speculative-check state (batched mode): deferred keyframe checks,
@@ -201,12 +215,36 @@ class SRBAStereoSLAMEstimator:
         )
         self._initialized = True
 
+    def _skip_from_step(self, it):
+        """Consume (and count) the first ``from_step`` frames unprocessed
+        (≙ the from_step skip of reference .cpp:64-70: skipped frames
+        advance the frame counter so to_step stays an absolute index)."""
+        while self.frame_idx + 1 < self.general.from_step:
+            try:
+                next(it)
+            except StopIteration:
+                break
+            self.frame_idx += 1
+        return it
+
+    def _pause_each_iteration(self):
+        """≙ pause_at_each_iteration -> mrpt::system::pause()
+        (reference .cpp:934-935); only meaningful on an interactive tty."""
+        if not self.general.pause_at_each_iteration:
+            return
+        import sys
+
+        if sys.stdin is not None and sys.stdin.isatty():
+            input("Press <enter> to continue...")
+
     # ----------------------------------------------------------------- loop
     def perform_stereo_slam(self, frame_source) -> list[StepResult]:
         """≙ performStereoSLAM() main loop (reference .cpp:29-937)."""
         assert self._initialized, "call initialize() first"
-        for left, right in frame_source:
+        it = self._skip_from_step(iter(frame_source))
+        for left, right in it:
             self.step(left, right)
+            self._pause_each_iteration()
             if self.general.max_num_kfs and self.store.n_kfs >= self.general.max_num_kfs:
                 break
             if self.general.to_step and self.frame_idx >= self.general.to_step:
@@ -229,6 +267,7 @@ class SRBAStereoSLAMEstimator:
         stashed = getattr(self, "_stashed_frames", None) or []
         self._stashed_frames = None
         it = itertools.chain(iter(stashed), iter(frame_source))
+        it = self._skip_from_step(it)
         if self.store.n_kfs == 0 or self.vo._prev is None:
             # first frame bootstraps KF0 through the normal path; a resumed
             # run (checkpoint restores SLAM state but not the last frame's
@@ -276,7 +315,13 @@ class SRBAStereoSLAMEstimator:
             n_spec_ins = sum(1 for c in self._spec if c["ins"])
             if self.general.max_num_kfs and \
                     self.store.n_kfs + n_spec_ins >= self.general.max_num_kfs:
-                break
+                # the predicted count includes unresolved speculative inserts;
+                # a predicted insert that resolves to no-insert would stop the
+                # run short of what per-frame mode produces — resolve first
+                # and re-evaluate on the COMMITTED count
+                self._resolve_pending_checks()
+                if self.store.n_kfs >= self.general.max_num_kfs:
+                    break
             if self.general.to_step and self.frame_idx >= self.general.to_step:
                 break
             nxt_chunk = None
@@ -324,6 +369,9 @@ class SRBAStereoSLAMEstimator:
             max_iters_initial=o.initial_max_iters,
             max_iters=o.max_iters,
             min_inliers=o.bad_tracking_th,
+            max_incr_cost=o.max_incr_cost,
+            robust_1to1=o.enable_robust_1to1_match,
+            filter_fund_matrix=o.filter_fund_matrix,
             rect_maps=eng.rect_maps,
         )
         return dict(outs=outs, last_feat=last_feat, last_inc=last_inc,
@@ -378,7 +426,11 @@ class SRBAStereoSLAMEstimator:
         th = self.opts.adaptive_th_min_matches
         n_per = m_valid.sum(axis=1)
         retry_j = None
-        if not eng.is_fast_th_min() or not eng.is_orb_th_max():
+        # the whole adaptive-threshold protocol is gated on
+        # orb_adaptive_fast_th (≙ reference .cpp:271: the retry do-while and
+        # the drift adjustments only run when the option is set)
+        adaptive = self.opts.orb_adaptive_fast_th
+        if adaptive and (not eng.is_fast_th_min() or not eng.is_orb_th_max()):
             below = np.nonzero(n_per < th)[0]
             if len(below):
                 retry_j = int(below[0])
@@ -421,13 +473,14 @@ class SRBAStereoSLAMEstimator:
         # healthy-threshold drift (≙ the post-retry adjustments of
         # .cpp:271-314, applied at batch granularity) BEFORE launching the
         # next batch — nothing below reads the detector thresholds
-        min_matches = int(n_per.min()) if b else self.capacity
-        if min_matches < 1.2 * th:
-            eng.set_fast_threshold(eng.fast_th - 5)
-        else:
-            if eng.fast_th < eng.fast_th_max:
-                eng.set_fast_threshold(eng.fast_th + 5)
-            eng.reset_orb_threshold()
+        if adaptive:
+            min_matches = int(n_per.min()) if b else self.capacity
+            if min_matches < 1.2 * th:
+                eng.set_fast_threshold(eng.fast_th - 5)
+            else:
+                if eng.fast_th < eng.fast_th_max:
+                    eng.set_fast_threshold(eng.fast_th + 5)
+                eng.reset_orb_threshold()
         nxt = next_fn(disp) if next_fn is not None else None
 
         self._process_frames(batch_rec, 0, b)
@@ -778,7 +831,12 @@ class SRBAStereoSLAMEstimator:
 
     # ------------------------------------------------------- adaptive VO
     def _vo_with_adaptive_retry(self, left, right, res: StepResult):
-        """≙ the FAST/ORB threshold retry protocol (reference .cpp:263-315)."""
+        """≙ the FAST/ORB threshold retry protocol (reference .cpp:263-315).
+        The protocol only runs when orb_adaptive_fast_th is set (≙ the gate
+        at .cpp:271); otherwise one plain VO pass."""
+        if not self.opts.orb_adaptive_fast_th:
+            vo = self.vo.process_stereo_pair(left, right)
+            return None if vo.num_stereo_matches < 8 else vo
         th_min_matches = self.opts.adaptive_th_min_matches
         vo = None
         for _attempt in range(6):
@@ -885,6 +943,7 @@ class SRBAStereoSLAMEstimator:
                 use_fund_matrix=m in (1, 3),
                 use_change_pose=m in (2, 3),
                 kernel_param=self.vo_opts.kernel_param,
+                ransac_n_hyp=self._ransac_n_hyp,
             )
         return (top_s, top_i, da.status, da.other_idx, da.tracked_count,
                 frame.m_valid, frame.xs_l, frame.ys_l, frame.xs_r,
@@ -1017,6 +1076,8 @@ class SRBAStereoSLAMEstimator:
         with self.profiler.section("define_kf"):
             try:
                 info = self.rba.define_new_keyframe(obs, run_opt=True)
+                if self.solve_sync:
+                    self.rba.flush()
             except Exception as exc:
                 # ≙ the reference's exception epilogue around
                 # define_new_keyframe (.cpp:792-839): save the graph, the

@@ -55,9 +55,17 @@ class SRBAParams:
     max_optimize_depth: int = 5
     min_obs_to_loop_closure: int = 50
     use_robust_kernel: bool = True
+    # stage-1 (pose-only, new-edge refinement) kernel flag + iteration cap
+    # (≙ rba.parameters.srba.use_robust_kernel_stage1, reference .cpp:1159)
+    use_robust_kernel_stage1: bool = True
+    stage1_iters: int = 4
     kernel_param: float = 1.5
     std_noise_pixels: float = 0.5
     max_kfs: int = 512
+    # init-anchor prior weights (see ops/window_ba.py — a documented
+    # deviation from the reference SRBA objective; 0 disables)
+    anchor_prior_w_rot: float = 1000.0
+    anchor_prior_w_trans: float = 100.0
     # window capacities (static shapes of the BA program); generous by
     # default — truncation silently weakens loop closures (observed: the
     # 25-KF loop test only snaps shut with all constraints kept)
@@ -85,6 +93,8 @@ class NewKFInfo:
     n_window_obs: int
     pending: bool = False
     truncated_obs: int = 0
+    # ≙ optimize_results_stg1.obs_rmse (reference .cpp:790)
+    obs_rmse_stg1: float = float("nan")
 
 
 class SRBAEngine:
@@ -461,10 +471,14 @@ class SRBAEngine:
         in_win = win_map[obs_kf] >= 0
         base_in_win = win_map[self.lm_base[obs_lm]] >= 0
         sel = np.nonzero(in_win & base_in_win)[0]
-        # local landmark set
-        lms = np.unique(obs_lm[sel])
+        # local landmark set; over capacity, keep the BEST-SUPPORTED
+        # landmarks (most in-window observations; ties broken by id for
+        # determinism) — an arbitrary id-prefix would silently drop exactly
+        # the well-tracked landmarks a loop-closure window needs
+        lms, lm_counts = np.unique(obs_lm[sel], return_counts=True)
         if len(lms) > p.win_lms:
-            lms = lms[: p.win_lms]
+            keep = np.argsort(-lm_counts, kind="stable")[: p.win_lms]
+            lms = np.sort(lms[keep])
         if len(sel) > p.win_obs:
             sel = sel[-p.win_obs:]  # favor recent observations
         lm_map = np.full(self.n_lms, -1, np.int32)
@@ -477,12 +491,23 @@ class SRBAEngine:
             lm_map[lms] = np.arange(len(lms))
         n_dropped = int((in_win & base_in_win).sum()) - len(sel)
         if n_dropped > 0:
-            self.log(
-                1,
+            # long-range (loop-closure-scale) edge inside the window =>
+            # truncation directly weakens the closure: warn unconditionally
+            eu_w = self._edge_u[: self.n_edges]
+            ev_w = self._edge_v[: self.n_edges]
+            both_in = (win_map[np.clip(eu_w, 0, self.n_kfs - 1)] >= 0) & \
+                      (win_map[np.clip(ev_w, 0, self.n_kfs - 1)] >= 0)
+            has_lc_edge = bool(
+                (np.abs(eu_w - ev_w)[both_in] > p.submap_size).any())
+            msg = (
                 f"WARNING kf{root}: window capacity truncated {n_dropped} "
                 f"observations (win_lms={p.win_lms}, win_obs={p.win_obs}) — "
-                "loop-closure strength may suffer",
+                "loop-closure strength may suffer"
             )
+            if has_lc_edge:
+                print(msg + " [loop-closure edge in window]", flush=True)
+            else:
+                self.log(1, msg)
 
         # bucket the static shapes: typical small windows run a much cheaper
         # compiled program than loop-closure-sized ones; at most three
@@ -530,6 +555,10 @@ class SRBAEngine:
             kernel_param=p.kernel_param,
             max_iters=p.opt_iters,
             use_kernel=p.use_robust_kernel,
+            w_prior_rot=p.anchor_prior_w_rot,
+            w_prior_trans=p.anchor_prior_w_trans,
+            stage1_iters=p.stage1_iters,
+            use_kernel_stage1=p.use_robust_kernel_stage1,
         )
         info = NewKFInfo(
             kf_id=root,
@@ -553,14 +582,17 @@ class SRBAEngine:
         ))
         return info
 
+    _N_PENDING_HANDLES = 6
+
     def pending_device_arrays(self) -> tuple:
-        """Device arrays of ALL in-flight window solves (oldest first, 5
+        """Device arrays of ALL in-flight window solves (oldest first, 6
         handles each), for merging into the caller's next bulk device_get
         (empty tuple when nothing is pending)."""
         out = []
         for p in self._pending:
             r = p["res"]
-            out += [r.cam_pose, r.lm_pos, r.cost_init, r.cost_final, r.obs_rmse]
+            out += [r.cam_pose, r.lm_pos, r.cost_init, r.cost_final,
+                    r.obs_rmse, r.obs_rmse_stg1]
         return tuple(out)
 
     def commit_pending(self, host_vals: tuple | None = None):
@@ -570,18 +602,19 @@ class SRBAEngine:
         q, self._pending = self._pending, []
         if not q:
             return
+        nh = self._N_PENDING_HANDLES
         if host_vals is None:
             host_vals = jax.device_get(tuple(
                 h for p in q
                 for h in (p["res"].cam_pose, p["res"].lm_pos,
                           p["res"].cost_init, p["res"].cost_final,
-                          p["res"].obs_rmse)))
-        assert len(host_vals) == 5 * len(q)
+                          p["res"].obs_rmse, p["res"].obs_rmse_stg1)))
+        assert len(host_vals) == nh * len(q)
         for i, p in enumerate(q):
-            self._commit_one(p, host_vals[5 * i: 5 * i + 5])
+            self._commit_one(p, host_vals[nh * i: nh * (i + 1)])
 
     def _commit_one(self, p: dict, host_vals: tuple):
-        cam_opt_f, lm_opt_f, cost_init, cost_final, rmse = host_vals
+        cam_opt_f, lm_opt_f, cost_init, cost_final, rmse, rmse_stg1 = host_vals
         cam_opt = np.asarray(cam_opt_f, np.float64)
         win_map = p["win_map"]
         # keyframes inserted AFTER this solve dispatched are outside its
@@ -613,6 +646,7 @@ class SRBAEngine:
         info.cost_init = float(cost_init)
         info.cost_final = float(cost_final)
         info.obs_rmse = float(rmse)
+        info.obs_rmse_stg1 = float(rmse_stg1)
         info.pending = False
         if self.on_commit is not None:
             self.on_commit(p["root"], p["old_root_global"],

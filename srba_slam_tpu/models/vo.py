@@ -68,7 +68,8 @@ def _avgpool2(img: jax.Array) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "cell", "nms_radius", "margin", "max_y_diff",
-                     "min_disparity", "max_disparity", "oriented", "n_levels"),
+                     "min_disparity", "max_disparity", "oriented", "n_levels",
+                     "robust_1to1"),
 )
 def extract_and_match(
     left: jax.Array,
@@ -85,6 +86,7 @@ def extract_and_match(
     max_disparity: float = 1e9,
     oriented: bool = False,
     n_levels: int = 1,
+    robust_1to1: bool = False,
     rect_maps=None,
 ) -> FrameFeatures:
     """Full frontend for one stereo pair; one compiled program.
@@ -147,7 +149,7 @@ def extract_and_match(
         desc[0], desc[1], ys[0], xs[0], ys[1], xs[1], valid[0], valid[1],
         max_y_diff=max_y_diff, orb_max_distance=orb_th,
         min_disparity=min_disparity, max_disparity=max_disparity,
-        oct_l=octv[0], oct_r=octv[1],
+        oct_l=octv[0], oct_r=octv[1], robust_1to1=robust_1to1,
     )
     xr = xs[1][m.idx].astype(jnp.float32)
     pts = project_match_to_3d(
@@ -171,7 +173,8 @@ class TrackSolveOut(NamedTuple):
     jax.jit,
     static_argnames=("k", "cell", "nms_radius", "margin", "max_y_diff",
                      "min_disparity", "max_disparity", "oriented", "n_levels",
-                     "max_iters_initial", "max_iters"),
+                     "max_iters_initial", "max_iters", "robust_1to1",
+                     "filter_fund_matrix"),
 )
 def vo_scan(
     lefts: jax.Array,         # f32 [B, H, W]
@@ -196,6 +199,9 @@ def vo_scan(
     max_iters_initial: int = 30,
     max_iters: int = 30,
     min_inliers: int = 5,
+    max_incr_cost: int = 3,
+    robust_1to1: bool = False,
+    filter_fund_matrix: bool = False,
     rect_maps=None,
 ):
     """Whole-batch VO: lax.scan of (extract -> track -> solve) over B frames.
@@ -213,7 +219,8 @@ def vo_scan(
             left, right, cam, fast_th, orb_th, k=k, cell=cell,
             nms_radius=nms_radius, margin=margin, max_y_diff=max_y_diff,
             min_disparity=min_disparity, max_disparity=max_disparity,
-            oriented=oriented, n_levels=n_levels, rect_maps=rect_maps,
+            oriented=oriented, n_levels=n_levels, robust_1to1=robust_1to1,
+            rect_maps=rect_maps,
         )
         out = track_and_solve(
             prev_feat, cur, cam, last_inc, orb_th,
@@ -223,6 +230,8 @@ def vo_scan(
             max_iters_initial=max_iters_initial,
             max_iters=max_iters,
             min_inliers=min_inliers,
+            max_incr_cost=max_incr_cost,
+            filter_fund_matrix=filter_fund_matrix,
         )
         next_inc = jnp.where(out.pose.valid, out.pose.pose, last_inc)
         ys = (cur, out.track_idx, out.track_valid, out.pose.pose,
@@ -235,7 +244,8 @@ def vo_scan(
     return last_feat, last_inc, outs
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters_initial", "max_iters"))
+@functools.partial(jax.jit, static_argnames=("max_iters_initial", "max_iters",
+                                             "filter_fund_matrix"))
 def track_and_solve(
     prev: FrameFeatures,
     cur: FrameFeatures,
@@ -248,6 +258,8 @@ def track_and_solve(
     max_iters_initial: int = 30,
     max_iters: int = 30,
     min_inliers: int = 5,
+    max_incr_cost: int = 3,
+    filter_fund_matrix: bool = False,
 ) -> TrackSolveOut:
     """Track stereo-matched features into the current frame and solve the
     frame-to-frame pose increment (x_cur = T x_prev)."""
@@ -260,6 +272,20 @@ def track_and_solve(
         [cur.xs_l.astype(jnp.float32), cur.ys_l.astype(jnp.float32), ur], axis=-1
     )
     valid = m.valid & cur.m_valid
+    if filter_fund_matrix:
+        # ≙ the stereo-vo IF-MATCH filter_fund_matrix option: gate the
+        # tracked matches by fundamental-matrix RANSAC over the left pixels
+        # before the pose solve (applied only when enough matches survive)
+        from srba_slam_tpu.ops.ransac import ransac_fundamental
+
+        inl, _cnt, _F = ransac_fundamental(
+            cur.xs_l.astype(jnp.float32), cur.ys_l.astype(jnp.float32),
+            prev.xs_l[m.idx].astype(jnp.float32),
+            prev.ys_l[m.idx].astype(jnp.float32),
+            valid, jax.random.PRNGKey(0), threshold=2.0, n_hyp=64,
+        )
+        n_alive = jnp.sum(valid.astype(jnp.int32))
+        valid = jnp.where(n_alive >= 15, valid & inl, valid)
     # stage barrier before the GN loop (prevents recompute-through-fusion of
     # the matcher into every solver iteration)
     pts_prev, obs, valid = jax.lax.optimization_barrier((pts_prev, obs, valid))
@@ -272,6 +298,7 @@ def track_and_solve(
         max_iters_initial=max_iters_initial,
         max_iters=max_iters,
         min_inliers=min_inliers,
+        max_incr_cost=max_incr_cost,
     )
     return TrackSolveOut(track_idx=m.idx, track_valid=valid, pose=res)
 
@@ -313,6 +340,16 @@ class StereoVOEngine:
         # inside the frontend program (set by the estimator when the config
         # declares unrectified input)
         self.rect_maps = None
+        if not self.opts.vo_use_matches_ids:
+            # ≙ the stereo-vo GENERAL vo_use_matches_ids option: the SLAM
+            # layer REQUIRES match-id bookkeeping (feature-ID propagation,
+            # ≙ generateMatchesIDs) — honor the key by refusing to silently
+            # disable it
+            import sys
+
+            print("[srba_slam_tpu] warning: vo_use_matches_ids=false "
+                  "requested, but SLAM requires match-ID bookkeeping — "
+                  "keeping it enabled", file=sys.stderr)
 
     def _mint_ids(self, ids: np.ndarray, m_valid: np.ndarray) -> np.ndarray:
         fresh = m_valid & (ids < 0)
@@ -349,6 +386,7 @@ class StereoVOEngine:
             max_y_diff=self.opts.max_y_diff,
             oriented=self.opts.orb_oriented,
             n_levels=self.opts.n_octaves,
+            robust_1to1=self.opts.enable_robust_1to1_match,
             rect_maps=self.rect_maps,
         )
         if self._prev is None:
@@ -374,6 +412,8 @@ class StereoVOEngine:
             max_iters_initial=self.opts.initial_max_iters,
             max_iters=self.opts.max_iters,
             min_inliers=self.opts.bad_tracking_th,
+            max_incr_cost=self.opts.max_incr_cost,
+            filter_fund_matrix=self.opts.filter_fund_matrix,
         )
         # one bulk host transfer for everything the frame decision needs
         (track_idx, track_valid, m_valid_h, pose_inc, pose_ok, mean_res,

@@ -40,6 +40,7 @@ def masked_best_match(
     gate: jax.Array,
     max_dist: jax.Array | int,
     unique: bool = True,
+    mutual: bool = False,
 ) -> MatchResult:
     """Row-wise best match under a mask, with optional 1-to-1 uniqueness.
 
@@ -49,6 +50,9 @@ def masked_best_match(
       max_dist: scalar distance threshold (inclusive).
       unique: enforce that each column is claimed by at most one row (the
         row with the smallest distance wins; ties break to the lowest row).
+      mutual: additionally require STRICT mutual best (the matched column's
+        global minimum over all rows is this pair) — ≙ the stereo-vo
+        ``enable_robust_1to1_match`` MATCH option.
     """
     n, m = dist.shape
     d = jnp.where(gate, dist.astype(jnp.float32), _BIG)
@@ -67,6 +71,9 @@ def masked_best_match(
         best_j, key = jax.lax.optimization_barrier((best_j, key))
         col_best = jnp.full((m,), _BIG, jnp.float32).at[best_j].min(key)
         valid = valid & (key == col_best[best_j])
+    if mutual:
+        col_min_all = jnp.min(d, axis=0)  # [M] best distance into each col
+        valid = valid & (best_d <= col_min_all[best_j])
     best_j = jnp.where(valid, best_j, 0)
     best_d = jnp.where(valid, best_d, _BIG)
     return MatchResult(best_j, best_d, valid)
@@ -87,11 +94,14 @@ def stereo_match(
     max_disparity: float = 1e9,
     oct_l: jax.Array | None = None,
     oct_r: jax.Array | None = None,
+    robust_1to1: bool = False,
 ) -> MatchResult:
     """Epipolar-gated left-right matching (≙ smDescRbR row-by-row matching;
     gates per demo/config_imgdir_kitti_srba.ini MATCH: max_y_diff=2,
     orb_max_distance=60, rectified images). Features only match within the
-    same pyramid octave when octave arrays are given."""
+    same pyramid octave when octave arrays are given. ``robust_1to1``
+    (≙ the MATCH enable_robust_1to1_match option) additionally requires
+    strict mutual best."""
     dist = hamming_matrix(desc_l, desc_r)  # [NL, NR]
     dy = jnp.abs(ys_l[:, None].astype(jnp.float32) - ys_r[None, :].astype(jnp.float32))
     disp = xs_l[:, None].astype(jnp.float32) - xs_r[None, :].astype(jnp.float32)
@@ -104,7 +114,8 @@ def stereo_match(
     )
     if oct_l is not None:
         gate = gate & (oct_l[:, None] == oct_r[None, :])
-    return masked_best_match(dist, gate, orb_max_distance)
+    return masked_best_match(dist, gate, orb_max_distance,
+                             mutual=robust_1to1)
 
 
 def interframe_match(

@@ -205,6 +205,12 @@ def describe(img: jax.Array, ys: jax.Array, xs: jax.Array, valid: jax.Array,
     theta = orientations(img, ys, xs)
     if theta_override is not None:
         theta = theta_override
+    elif not oriented:
+        # upright contract on the GENERAL path too (patch_safe=False — the
+        # documented escape hatch for keypoints within 16 px of the border):
+        # the pattern must not be steered by the computed orientation, or
+        # the cv2 upright bit-parity breaks for exactly those callers
+        theta = jnp.zeros_like(theta)
 
     c, s = jnp.cos(theta), jnp.sin(theta)  # [K]
     pat_np = _PATTERN_OPENCV if pattern == "opencv" else _PATTERN

@@ -21,6 +21,29 @@ import jax.numpy as jnp
 _HI = jax.lax.Precision.HIGHEST
 
 
+def hypotheses_for_prob(fit_prob: float, inlier_ratio: float = 0.7,
+                        min_hyp: int = 64, max_hyp: int = 512) -> int:
+    """Map the config's RANSAC confidence to a FIXED hypothesis count.
+
+    ≙ the ``ransac_fit_prob`` argument of cv::findFundamentalMat (reference
+    src/CSRBAStereoSLAMEstimator.cpp:2043, 2101): OpenCV iterates until
+    P(all-inlier sample seen) >= fit_prob, adapting to the observed inlier
+    ratio. A fixed-shape batched program cannot adapt, so the standard
+    N = log(1-p) / log(1-w^8) is evaluated at an assumed post-filter-2
+    inlier ratio (w=0.7 — the cascade's ORB/uniqueness filters run first)
+    and rounded up to a power of two so at most a handful of program shapes
+    ever compile."""
+    import math
+
+    p = min(max(float(fit_prob), 0.5), 1.0 - 1e-9)
+    denom = math.log(1.0 - inlier_ratio ** 8)
+    n = math.ceil(math.log(1.0 - p) / denom)
+    n_hyp = min_hyp
+    while n_hyp < n and n_hyp < max_hyp:
+        n_hyp *= 2
+    return n_hyp
+
+
 def _normalize_pts(x: jax.Array, y: jax.Array, w: jax.Array):
     """Hartley normalization (masked): zero-mean, mean distance sqrt(2)."""
     n = jnp.maximum(jnp.sum(w), 1.0)

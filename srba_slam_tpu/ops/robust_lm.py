@@ -87,19 +87,39 @@ def _pseudo_huber_weight(rnorm: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def _gn_stage(R0, t0, pts, obs, w_valid, cam, kernel_param, use_kernel,
-              max_iters: int, min_mod: float, damping: float):
+              max_iters: int, min_mod: float, damping: float,
+              max_incr_cost=1 << 30):
     """Run up to max_iters damped GN steps, stopping early once the step
     modulus drops below ``min_mod`` (the reference's ending condition) — a
     real while_loop exit, not a frozen-carry fori_loop, because each spent
-    iteration is device time on the serial per-frame critical path."""
+    iteration is device time on the serial per-frame critical path.
+
+    ``max_incr_cost`` (≙ the stereo-vo LEAST_SQUARES option of the same
+    name): additionally stop after this many CONSECUTIVE iterations whose
+    robust cost increased — the solver is diverging, keep the best pose seen
+    so far."""
+
+    b2 = kernel_param * kernel_param
+
+    def cost_at(r):
+        rsq = jnp.sum(r * r, axis=-1)
+        rho = jnp.where(use_kernel,
+                        2.0 * b2 * (jnp.sqrt(1.0 + rsq / b2) - 1.0), rsq)
+        return jnp.sum(rho * w_valid)
 
     def cond(carry):
-        _R, _t, done, iters = carry
-        return (~done) & (iters < max_iters)
+        _R, _t, done, iters, _c, incr, _best = carry
+        return (~done) & (iters < max_iters) & (incr < max_incr_cost)
 
     def body(carry):
-        R, t, done, iters = carry
+        R, t, done, iters, prev_cost, incr, best = carry
+        best_R, best_t, best_cost = best
         r, x = stereo_residuals(R, t, pts, obs, cam)
+        cost = cost_at(r)
+        incr = jnp.where(cost > prev_cost, incr + 1, 0)
+        better = cost < best_cost
+        best = (jnp.where(better, R, best_R), jnp.where(better, t, best_t),
+                jnp.minimum(cost, best_cost))
         J = _jacobian(x, cam)
         rnorm = jnp.linalg.norm(r, axis=-1)
         w = jnp.where(use_kernel, _pseudo_huber_weight(rnorm, kernel_param), 1.0)
@@ -120,12 +140,20 @@ def _gn_stage(R0, t0, pts, obs, w_valid, cam, kernel_param, use_kernel,
         t = jnp.where(apply, t_new, t)
         done = done | (step_mod < min_mod) | (~ok)
         iters = iters + apply.astype(jnp.int32)
-        return R, t, done, iters
+        return R, t, done, iters, cost, incr, best
 
-    R, t, _, iters = jax.lax.while_loop(
+    inf = jnp.asarray(jnp.inf, jnp.float32)
+    R, t, _, iters, _c, incr, (bR, bt, bc) = jax.lax.while_loop(
         cond, body,
-        (R0, t0, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
+        (R0, t0, jnp.asarray(False), jnp.asarray(0, jnp.int32), inf,
+         jnp.asarray(0, jnp.int32), (R0, t0, inf)),
     )
+    # if we bailed on diverging cost, return the best-seen pose instead of
+    # the diverged one
+    r_fin, _ = stereo_residuals(R, t, pts, obs, cam)
+    diverged = (incr >= max_incr_cost) & (cost_at(r_fin) > bc)
+    R = jnp.where(diverged, bR, R)
+    t = jnp.where(diverged, bt, t)
     return R, t, iters
 
 
@@ -147,6 +175,7 @@ def solve_pose(
     min_inliers: int = 5,
     use_kernel: bool = True,
     damping: float = 1e-4,
+    max_incr_cost: int = 3,
 ) -> PoseSolveResult:
     """Two-stage robust pose solve (≙ LEAST_SQUARES config defaults).
 
@@ -156,6 +185,9 @@ def solve_pose(
       valid: [N] bool correspondence mask.
       initial_pose: optional [6] rotvec+trans initial guess.
       min_inliers: ≙ bad_tracking_th.
+      max_incr_cost: ≙ the stereo-vo LEAST_SQUARES max_incr_cost option —
+        abort a stage after this many consecutive cost-increasing steps
+        (best-seen pose kept).
     """
     pts_prev = pts_prev.astype(jnp.float32)
     obs_cur = obs_cur.astype(jnp.float32)
@@ -169,7 +201,7 @@ def solve_pose(
     # stage 1: all valid correspondences
     R1, t1, _ = _gn_stage(R0, t0, pts_prev, obs_cur, w_valid, cam,
                           kernel_param, use_kernel, max_iters_initial,
-                          min_mod, damping)
+                          min_mod, damping, max_incr_cost)
     r1, _ = stereo_residuals(R1, t1, pts_prev, obs_cur, cam)
     rnorm1 = jnp.linalg.norm(r1, axis=-1)
     inliers = valid & (rnorm1 <= residual_threshold)
@@ -178,7 +210,7 @@ def solve_pose(
     w2 = inliers.astype(jnp.float32)
     R2, t2, iters2 = _gn_stage(R1, t1, pts_prev, obs_cur, w2, cam,
                                kernel_param, use_kernel, max_iters,
-                               min_mod, damping)
+                               min_mod, damping, max_incr_cost)
     r2, _ = stereo_residuals(R2, t2, pts_prev, obs_cur, cam)
     rnorm2 = jnp.linalg.norm(r2, axis=-1) * w2
     n_in = jnp.sum(inliers.astype(jnp.int32))

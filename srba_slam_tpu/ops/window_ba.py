@@ -93,6 +93,9 @@ class BAResult(NamedTuple):
     cost_final: jax.Array
     obs_rmse: jax.Array   # raw pixel RMSE over valid obs after
     iters: jax.Array
+    obs_rmse_stg1: jax.Array  # raw pixel RMSE after the pose-only stage 1
+    # (≙ optimize_results_stg1.obs_rmse, reference .cpp:790); equals the
+    # init RMSE when stage 1 is disabled (stage1_iters=0)
 
 
 def _project_residuals(cam_pose, lm_pos, lm_base, obs_cam, obs_lm, obs_px,
@@ -181,20 +184,26 @@ def _robust_cost(r, w_valid, kernel_param, use_kernel):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("C", "L", "O", "max_iters", "use_kernel")
+    jax.jit, static_argnames=("C", "L", "O", "max_iters", "use_kernel",
+                              "stage1_iters", "use_kernel_stage1")
 )
 def optimize_window_packed(
     ints: jax.Array, floats: jax.Array, C: int, L: int, O: int,
     cam: StereoCamera, kernel_param: float = 1.5, max_iters: int = 12,
     use_kernel: bool = True,
+    w_prior_rot: float = 1000.0, w_prior_trans: float = 100.0,
+    stage1_iters: int = 0, use_kernel_stage1: bool = True,
 ) -> BAResult:
     """optimize_window with the two-blob input layout (see pack_window)."""
     win = unpack_window(ints, floats, C, L, O)
     return _optimize_window_impl(win, cam, kernel_param, max_iters,
-                                 use_kernel, 1e-4)
+                                 use_kernel, 1e-4, w_prior_rot, w_prior_trans,
+                                 stage1_iters, use_kernel_stage1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "use_kernel"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "use_kernel",
+                                             "stage1_iters",
+                                             "use_kernel_stage1"))
 def optimize_window(
     win: BAWindow,
     cam: StereoCamera,
@@ -202,9 +211,15 @@ def optimize_window(
     max_iters: int = 12,
     use_kernel: bool = True,
     init_lambda: float = 1e-4,
+    w_prior_rot: float = 1000.0,
+    w_prior_trans: float = 100.0,
+    stage1_iters: int = 0,
+    use_kernel_stage1: bool = True,
 ) -> BAResult:
     return _optimize_window_impl(win, cam, kernel_param, max_iters,
-                                 use_kernel, init_lambda)
+                                 use_kernel, init_lambda, w_prior_rot,
+                                 w_prior_trans, stage1_iters,
+                                 use_kernel_stage1)
 
 
 def _optimize_window_impl(
@@ -214,6 +229,10 @@ def _optimize_window_impl(
     max_iters: int,
     use_kernel: bool,
     init_lambda: float,
+    w_prior_rot=1000.0,
+    w_prior_trans=100.0,
+    stage1_iters: int = 0,
+    use_kernel_stage1: bool = True,
 ) -> BAResult:
     C = win.cam_pose.shape[0]
     kernel_param = jnp.asarray(kernel_param, jnp.float32)
@@ -235,8 +254,13 @@ def _optimize_window_impl(
     # centimeter refinements (and loop closures — whose window INIT already
     # composes through the fresh closure edge, so the anchor is the
     # reconciled geometry) essentially free. Units: twist rad / meters.
-    W_PRIOR_R = 1000.0   # (1/sigma^2) sigma ~ 0.03 rad
-    W_PRIOR_T = 100.0    # sigma ~ 0.1 m of unexplained drift per window
+    # Weights are SRBAParams.anchor_prior_w_rot/_trans (defaults: sigma ~
+    # 0.03 rad / ~0.1 m of unexplained drift per window); 0 disables. NOTE:
+    # this prior is a deliberate deviation from the reference SRBA objective
+    # (which has no such term) — see tests/test_window_ba.py for the
+    # focused fold-blocked / loop-closure-free assertions.
+    W_PRIOR_R = jnp.asarray(w_prior_rot, jnp.float32)
+    W_PRIOR_T = jnp.asarray(w_prior_trans, jnp.float32)
     init_R, init_t = se3.exp(win.cam_pose)                   # [C,3,3], [C,3]
 
     def prior_residual(cam_pose):
@@ -253,11 +277,17 @@ def _optimize_window_impl(
         return jnp.sum(m * (W_PRIOR_R * jnp.sum(w * w, -1)
                             + W_PRIOR_T * jnp.sum(dt * dt, -1)))
 
-    def cost_of(cam_pose, lm_pos):
+    def cost_of(cam_pose, lm_pos, kern=use_kernel):
         r, *_ = _project_residuals(cam_pose, lm_pos, win.lm_base, win.obs_cam,
                                    win.obs_lm, win.obs_px, cam)
-        return _robust_cost(r, obs_w, kernel_param, use_kernel) \
+        return _robust_cost(r, obs_w, kernel_param, kern) \
             + prior_cost(cam_pose)
+
+    def rmse_of(cam_pose, lm_pos):
+        r, *_ = _project_residuals(cam_pose, lm_pos, win.lm_base, win.obs_cam,
+                                   win.obs_lm, win.obs_px, cam)
+        n_obs = jnp.maximum(jnp.sum(obs_w), 1.0)
+        return jnp.sqrt(jnp.sum(jnp.sum(r * r, -1) * obs_w) / n_obs)
 
     cost0 = cost_of(win.cam_pose, win.lm_pos)
 
@@ -332,14 +362,14 @@ def _optimize_window_impl(
             Hll = jnp.zeros((L_n, 3, 3), jnp.float32).at[lm_i_h].add(cc)
         return g_c, g_l, Hcc, Hcl, Hll
 
-    def lm_step(cam_pose, lm_pos, lam):
+    def lm_step(cam_pose, lm_pos, lam, kern=use_kernel, freeze_lms=False):
         r, x, X, Rc, Q_R = _project_residuals(
             cam_pose, lm_pos, win.lm_base, win.obs_cam, win.obs_lm, win.obs_px, cam
         )
         P = _dproj(x, cam)                                    # [O,3,3]
         rnorm = jnp.linalg.norm(r, axis=-1)
         w_rob = jnp.where(
-            use_kernel, 1.0 / jnp.sqrt(1.0 + (rnorm / kernel_param) ** 2), 1.0
+            kern, 1.0 / jnp.sqrt(1.0 + (rnorm / kernel_param) ** 2), 1.0
         )
         w = w_rob * obs_w                                     # [O]
 
@@ -367,7 +397,8 @@ def _optimize_window_impl(
                                     jnp.full((3,), W_PRIOR_T, jnp.float32)])
         g_c = g_c + jnp.concatenate([pw, pdt], -1) * prior_w6[None, :]
         diag_idx = jnp.arange(C) * C + jnp.arange(C)
-        Hcc = Hcc.at[diag_idx].add(jnp.diag(prior_w6)[None, :, :])
+        Hcc = Hcc.at[diag_idx].add(
+            prior_w6[None, :, None] * jnp.eye(6)[None, :, :])
         # LM damping + keep padded landmarks fully determined
         Hll = Hll + (lam + 1e-6) * jnp.eye(3)[None]
         Hll = jnp.where(lm_w[:, None, None] > 0, Hll, jnp.eye(3)[None])
@@ -376,11 +407,18 @@ def _optimize_window_impl(
         Hll_inv = _inv3x3(Hll)
         W = jnp.einsum("clij,ljk->clik", Hcl, Hll_inv, precision=_HI)  # [C,L,6,3]
 
-        # Schur: S = Hcc - W Hcl^T ; rhs = g_c - W g_l
-        S = Hcc.reshape(C, C, 6, 6) - jnp.einsum(
-            "clij,dlkj->cdik", W, Hcl, precision=_HI
-        )
-        rhs = g_c - jnp.einsum("clij,lj->ci", W, g_l, precision=_HI)
+        if freeze_lms:
+            # stage 1 (pose-only): landmarks held at their current
+            # estimates, so the camera system is plain Hcc (no Schur
+            # reduction — that would assume the landmarks re-optimize)
+            S = Hcc.reshape(C, C, 6, 6)
+            rhs = g_c
+        else:
+            # Schur: S = Hcc - W Hcl^T ; rhs = g_c - W g_l
+            S = Hcc.reshape(C, C, 6, 6) - jnp.einsum(
+                "clij,dlkj->cdik", W, Hcl, precision=_HI
+            )
+            rhs = g_c - jnp.einsum("clij,lj->ci", W, g_l, precision=_HI)
 
         # dense 6C system with gauge/invalid freezing
         S = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
@@ -394,10 +432,13 @@ def _optimize_window_impl(
         ok = jnp.all(jnp.isfinite(dc))
         dc = jnp.where(ok, dc, 0.0).reshape(C, 6)
 
-        # back-substitute landmarks
-        corr = jnp.einsum("clij,ci->lj", Hcl, dc, precision=_HI)
-        dl = -jnp.einsum("lij,lj->li", Hll_inv, g_l + corr, precision=_HI)
-        dl = dl * lm_w[:, None]
+        if freeze_lms:
+            dl = jnp.zeros_like(lm_pos)
+        else:
+            # back-substitute landmarks
+            corr = jnp.einsum("clij,ci->lj", Hcl, dc, precision=_HI)
+            dl = -jnp.einsum("lij,lj->li", Hll_inv, g_l + corr, precision=_HI)
+            dl = dl * lm_w[:, None]
 
         # apply (left-multiplicative twist on cam poses)
         dR = se3.so3_exp(dc[:, :3])
@@ -409,42 +450,60 @@ def _optimize_window_impl(
         lm_new = lm_pos + dl
         return cam_new, lm_new, ok
 
-    def cond(carry):
-        _cam, _lm, _cost, _lam, _iters, it, stall, rejects = carry
-        # stop early once ACCEPTED steps stop improving the cost meaningfully
-        # (sub-1e-6 relative decreases), or once a long unbroken streak of
-        # rejected steps shows the damping escalation is hopeless. Rejected
-        # steps alone must NOT count toward the convergence stall: a far
-        # initialization (loop-closure windows) can need several rejections
-        # while lambda climbs before the first accepted step.
-        return (it < max_iters) & (stall < 3) & (rejects < 6)
+    def make_loop(n_iters, kern, freeze_lms):
+        def cond(carry):
+            _cam, _lm, _cost, _lam, _iters, it, stall, rejects = carry
+            # stop early once ACCEPTED steps stop improving the cost
+            # meaningfully (sub-1e-6 relative decreases), or once a long
+            # unbroken streak of rejected steps shows the damping escalation
+            # is hopeless. Rejected steps alone must NOT count toward the
+            # convergence stall: a far initialization (loop-closure windows)
+            # can need several rejections while lambda climbs before the
+            # first accepted step.
+            return (it < n_iters) & (stall < 3) & (rejects < 6)
 
-    def body(carry):
-        cam_pose, lm_pos, cost, lam, iters, it, stall, rejects = carry
-        cam_new, lm_new, ok = lm_step(cam_pose, lm_pos, lam)
-        new_cost = cost_of(cam_new, lm_new)
-        accept = ok & (new_cost < cost)
-        improving = accept & (cost - new_cost > 1e-6 * cost)
-        stall = jnp.where(improving, 0,
-                          jnp.where(accept, stall + 1, stall))
-        rejects = jnp.where(accept, 0, rejects + 1)
-        cam_pose = jnp.where(accept, cam_new, cam_pose)
-        lm_pos = jnp.where(accept, lm_new, lm_pos)
-        cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.where(accept, jnp.maximum(lam * 0.4, 1e-7),
-                        jnp.minimum(lam * 6.0, 1e3))
-        return (cam_pose, lm_pos, cost, lam,
-                iters + accept.astype(jnp.int32), it + 1, stall, rejects)
+        def body(carry):
+            cam_pose, lm_pos, cost, lam, iters, it, stall, rejects = carry
+            cam_new, lm_new, ok = lm_step(cam_pose, lm_pos, lam, kern,
+                                          freeze_lms)
+            new_cost = cost_of(cam_new, lm_new, kern)
+            accept = ok & (new_cost < cost)
+            improving = accept & (cost - new_cost > 1e-6 * cost)
+            stall = jnp.where(improving, 0,
+                              jnp.where(accept, stall + 1, stall))
+            rejects = jnp.where(accept, 0, rejects + 1)
+            cam_pose = jnp.where(accept, cam_new, cam_pose)
+            lm_pos = jnp.where(accept, lm_new, lm_pos)
+            cost = jnp.where(accept, new_cost, cost)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.4, 1e-7),
+                            jnp.minimum(lam * 6.0, 1e3))
+            return (cam_pose, lm_pos, cost, lam,
+                    iters + accept.astype(jnp.int32), it + 1, stall, rejects)
 
-    cam_pose, lm_pos, cost, _, iters, _it, _stall, _rej = jax.lax.while_loop(
-        cond, body,
-        (win.cam_pose, win.lm_pos, cost0, jnp.float32(init_lambda),
-         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
-    )
+        return cond, body
 
-    r, *_ = _project_residuals(cam_pose, lm_pos, win.lm_base, win.obs_cam,
-                               win.obs_lm, win.obs_px, cam)
-    n_obs = jnp.maximum(jnp.sum(obs_w), 1.0)
-    rmse = jnp.sqrt(jnp.sum(jnp.sum(r * r, -1) * obs_w) / n_obs)
-    return BAResult(cam_pose, lm_pos, cost0, cost, rmse, iters)
+    def run_loop(cam_pose, lm_pos, n_iters, kern, freeze_lms):
+        cond, body = make_loop(n_iters, kern, freeze_lms)
+        cost_in = cost_of(cam_pose, lm_pos, kern)
+        out = jax.lax.while_loop(
+            cond, body,
+            (cam_pose, lm_pos, cost_in, jnp.float32(init_lambda),
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
+        )
+        return out[0], out[1], out[4]
+
+    cam_pose, lm_pos = win.cam_pose, win.lm_pos
+    if stage1_iters > 0:
+        # stage 1 (≙ SRBA's first optimization pass over the NEW kf2kf
+        # edges, kernel flag use_robust_kernel_stage1 — reference
+        # .cpp:1159, utils.h:276): pose-only refinement with the landmarks
+        # held, before the full window BA below
+        cam_pose, lm_pos, _ = run_loop(cam_pose, lm_pos, stage1_iters,
+                                       use_kernel_stage1, True)
+    rmse_stg1 = rmse_of(cam_pose, lm_pos)
+    cam_pose, lm_pos, iters = run_loop(cam_pose, lm_pos, max_iters,
+                                       use_kernel, False)
+    cost = cost_of(cam_pose, lm_pos)
+    rmse = rmse_of(cam_pose, lm_pos)
+    return BAResult(cam_pose, lm_pos, cost0, cost, rmse, iters, rmse_stg1)

@@ -197,12 +197,12 @@ class StreetScene:
         side = np.where(rng.uniform(size=n) < 0.5, -1.0, 1.0)
         self.bx = side * rng.uniform(3.5, 9.0, n)
         self.by = rng.uniform(-1.2, 0.6, n)      # y down; ground at +1.5
-        # half-size capped to keep >= 1.2 m lateral clearance from the
-        # camera path: a board grazing the path fills the whole frame with
-        # one hugely magnified (featureless) texture patch for a frame or
-        # two, starving the detector
-        self.bs = np.minimum(rng.uniform(0.8, 2.2, n),
-                             np.abs(self.bx) - 1.2)
+        # range invariant: |bx| >= 3.5 and half-size <= 2.2 guarantee
+        # >= 1.3 m lateral clearance from the camera path — a board grazing
+        # the path would fill the whole frame with one hugely magnified
+        # (featureless) texture patch for a frame or two, starving the
+        # detector
+        self.bs = rng.uniform(0.8, 2.2, n)
         # every billboard samples the shared texture through a UNIQUE warp
         # (offset + its own scale + random mirroring): two billboards must
         # never display the same pixel pattern, or their false inter-board

@@ -1,0 +1,167 @@
+"""Backend scale test (round-3, VERDICT item 8): 300+ keyframes, multiple
+loop closures, wall-time budgets on the host graph bookkeeping.
+
+Drives ``SRBAEngine`` directly with synthetic observations over a 2-lap
+circuit at KITTI-like geometry — no imagery, so the test isolates the
+backend: per-insertion cost (edge policy + window build + dispatch),
+``commit_pending``'s full spanning-tree recompute, and the epilogue's dense
+pose-graph solve. Budgets are calibrated on the single-core CPU container
+(see BASELINE.md "backend scale" row) with generous headroom; they exist to
+catch complexity regressions (an O(n^2) slip in the spanning tree or the
+commit path), not to benchmark.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from srba_slam_tpu.models.srba import SRBAEngine, SRBAParams
+from srba_slam_tpu.utils import se3_np
+from srba_slam_tpu.utils.camera import StereoCamera
+
+CAM = StereoCamera(
+    fx_l=300.0, fy_l=300.0, cx_l=320.0, cy_l=180.0,
+    fx_r=300.0, fy_r=300.0, cx_r=320.0, cy_r=180.0,
+    baseline=0.54, width=640, height=360,
+)
+
+N_KFS = 350
+LAPS = 2
+R_CIRCUIT = 40.0          # meters
+LMS_PER_STATION = 10
+OBS_WINDOW = 4            # a KF sees landmarks of stations within +-this
+
+
+def _circuit():
+    """KF poses on a circle (camera +z tangent), landmark stations pinned to
+    the circle so lap 2 re-observes lap 1's landmarks (loop closures)."""
+    per_lap = N_KFS // LAPS
+    stations = per_lap  # one station per lap-1 pose
+    rng = np.random.default_rng(7)
+    # world landmark clouds per station
+    st_world = []
+    for s in range(stations):
+        a = 2 * np.pi * s / stations
+        center = np.array([R_CIRCUIT * np.cos(a), 0.0, R_CIRCUIT * np.sin(a)])
+        pts = center + np.stack([
+            rng.uniform(-3, 3, LMS_PER_STATION),
+            rng.uniform(-2, 2, LMS_PER_STATION),
+            rng.uniform(-3, 3, LMS_PER_STATION)], -1)
+        st_world.append(pts)
+    poses = []
+    for k in range(N_KFS):
+        a = 2 * np.pi * (k % per_lap) / per_lap
+        p = np.array([R_CIRCUIT * np.cos(a), 0.0, R_CIRCUIT * np.sin(a)])
+        # camera +z along the tangent
+        yaw = np.arctan2(np.cos(a), -np.sin(a))
+        R = np.array([
+            [np.cos(yaw), 0, np.sin(yaw)],
+            [0, 1, 0],
+            [-np.sin(yaw), 0, np.cos(yaw)]])
+        poses.append(se3_np.log(R, p))
+    return np.asarray(poses), st_world
+
+
+def _observations(k, pose, st_world, lm_id_of):
+    """(lm_ids, px, rel) for KF k: every landmark of nearby stations that
+    projects in front of the camera."""
+    per_lap = N_KFS // LAPS
+    s0 = k % per_lap
+    ids, px, rel = [], [], []
+    inv = se3_np.inverse(pose)
+    for ds in range(-OBS_WINDOW, OBS_WINDOW + 1):
+        s = (s0 + ds) % per_lap
+        for j, pw in enumerate(st_world[s]):
+            pc = se3_np.transform_point(inv, pw)
+            if pc[2] < 2.0 or pc[2] > 60.0:
+                continue
+            ul = CAM.cx_l + CAM.fx_l * pc[0] / pc[2]
+            vl = CAM.cy_l + CAM.fy_l * pc[1] / pc[2]
+            if not (0 <= ul < CAM.width and 0 <= vl < CAM.height):
+                continue
+            ur = CAM.cx_r + CAM.fx_r * (pc[0] - CAM.baseline) / pc[2]
+            ids.append(lm_id_of[(s, j)])
+            px.append([ul, vl, ur])
+            rel.append(pc)
+    return (np.asarray(ids, np.int64), np.asarray(px, np.float64),
+            np.asarray(rel, np.float64))
+
+
+@pytest.mark.slow
+def test_backend_scale_350_kfs_with_loop_closures():
+    poses, st_world = _circuit()
+    lm_id_of = {}
+    nid = 0
+    for s in range(len(st_world)):
+        for j in range(LMS_PER_STATION):
+            lm_id_of[(s, j)] = nid
+            nid += 1
+
+    eng = SRBAEngine(CAM, SRBAParams(
+        submap_size=10, max_tree_depth=4, max_optimize_depth=4,
+        min_obs_to_loop_closure=30, max_kfs=N_KFS + 2,
+        win_cams=16, win_lms=2048, win_obs=4096, opt_iters=8,
+    ), lazy=True)
+
+    insert_times = []
+    commit_times = []
+    for k in range(N_KFS):
+        obs = _observations(k, poses[k], st_world, lm_id_of)
+        if k > 0:
+            eng.set_initial_kf_pose(se3_np.relative(poses[k], poses[k - 1]))
+        t0 = time.perf_counter()
+        eng.define_new_keyframe(obs, run_opt=k > 0)
+        insert_times.append(time.perf_counter() - t0)
+        if k % 10 == 9:  # land queued solves every 10 insertions
+            t0 = time.perf_counter()
+            eng.flush()
+            commit_times.append(time.perf_counter() - t0)
+
+    assert eng.n_kfs == N_KFS
+    # lap 2 must have created long-range (loop-closure) edges back to lap-1
+    # areas via the obs-voting branch of the edge-creation policy
+    span = np.abs(eng.edge_u - eng.edge_v)
+    n_lc = int((span > 20).sum())
+    assert n_lc >= 3, f"expected >= 3 loop-closure edges, got {n_lc}"
+
+    # host-side cost budgets (single-core container, generous headroom —
+    # regression tripwires, not benchmarks). Measured round 3: median
+    # insert ~4-9 ms, p95 commit (spanning-tree recompute incl. BA pull)
+    # well under 2 s on CPU.
+    med_insert = float(np.median(insert_times))
+    assert med_insert < 0.25, f"median insertion host cost {med_insert:.3f}s"
+    assert max(commit_times) < 30.0, f"commit burst {max(commit_times):.2f}s"
+
+    # epilogue: full spanning tree from KF0 + dense pose-graph solve over
+    # all 350 nodes (padded to 512 -> a 3072^2 system)
+    t0 = time.perf_counter()
+    eu, ev, rel = eng.get_global_graphslam_problem()
+    from srba_slam_tpu.ops.posegraph import optimize_pose_graph
+    import jax.numpy as jnp
+
+    n = eng.n_kfs
+    n_pad = 512
+    e_pad = 1 << (len(eu) - 1).bit_length()
+    eu_a = np.zeros(e_pad, np.int32); eu_a[: len(eu)] = eu
+    ev_a = np.zeros(e_pad, np.int32); ev_a[: len(ev)] = ev
+    rel_a = np.zeros((e_pad, 6), np.float32); rel_a[: len(eu)] = rel
+    e_valid = np.zeros(e_pad, bool); e_valid[: len(eu)] = True
+    poses0 = np.zeros((n_pad, 6), np.float32)
+    poses0[:n] = eng.kf_global[:n]
+    opt, c0, c1, _ = optimize_pose_graph(
+        jnp.asarray(poses0), jnp.asarray(np.arange(n_pad) < n),
+        jnp.asarray(eu_a), jnp.asarray(ev_a), jnp.asarray(rel_a),
+        jnp.asarray(e_valid), max_iters=15,
+    )
+    opt = np.asarray(opt)
+    dt_epilogue = time.perf_counter() - t0
+    # budget includes the pose-graph program's XLA compile on first run
+    assert dt_epilogue < 300.0, f"epilogue took {dt_epilogue:.1f}s"
+    assert float(c1) <= float(c0)
+
+    # trajectory sanity: the optimized circuit must stay near the true one
+    from srba_slam_tpu.utils.evaluation import ate_rmse
+
+    ate = ate_rmse(opt[:n, 3:], poses[:, 3:], align=True)
+    assert ate < 1.0, f"scale-run ATE {ate:.2f} m"

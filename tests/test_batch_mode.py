@@ -83,6 +83,7 @@ def test_speculation_miss_replays_exactly():
 
     def make():
         opts = SRBAStereoSLAMOptions(
+            orb_adaptive_fast_th=True,
             camera=cam, n_feats=256, detect_fast_th=12,
             adaptive_th_min_matches=40, max_translation=0.18,
             max_rotation=10.0, updated_matches_th=12, vo_id_tracking_th=8,
@@ -129,3 +130,32 @@ def test_speculation_miss_replays_exactly():
     # the trajectory-quality gates (ATE tests) hold in both modes.
     np.testing.assert_allclose(
         est_a.rba.kf_global[:n], est_b.rba.kf_global[:n], atol=0.15)
+
+
+def test_solve_sync_strict_pose_equivalence():
+    """With solve_sync (every window solve lands immediately after its
+    insertion) per-frame and batched modes commit solves at IDENTICAL
+    points, so poses — not just decisions — must match to solver precision.
+    This is the strict-equivalence companion of
+    test_speculation_miss_replays_exactly's scheduling-tolerant gate."""
+    cam = small_cam()
+    frames = list(SyntheticSource(cam, n_frames=25, seed=11, step=0.12))
+
+    est_a = make_estimator()
+    est_a.solve_sync = True
+    for l, r in frames:
+        est_a.step(l, r)
+
+    est_b = make_estimator()
+    est_b.solve_sync = True
+    est_b.perform_stereo_slam_batched(frames, batch=6)
+
+    assert est_a.store.n_kfs == est_b.store.n_kfs
+    ka = [r.inserted_kf for r in est_a.step_log]
+    kb = [r.inserted_kf for r in est_b.step_log]
+    assert ka == kb
+    est_a.rba.flush()
+    est_b.rba.flush()
+    n = est_a.store.n_kfs
+    np.testing.assert_allclose(
+        est_a.rba.kf_global[:n], est_b.rba.kf_global[:n], atol=1e-3)

@@ -26,6 +26,7 @@ def make_estimator(n_feats=256, **opt_kw):
     # radial sliver of matches there; residual_th=10 also guards filter 4
     opt_kw.setdefault("residual_th", 10.0)
     opts = SRBAStereoSLAMOptions(
+        orb_adaptive_fast_th=True,
         camera=cam, n_feats=n_feats, detect_fast_th=12,
         adaptive_th_min_matches=40, max_translation=0.5, max_rotation=10.0,
         updated_matches_th=40, vo_id_tracking_th=30, srba_submap_size=5,

@@ -25,11 +25,17 @@ def test_kitti_geometry_trajectory_ate():
     src = SyntheticSource(cam, n_frames=60, seed=11, step=0.8, scene="street")
     frames = list(src)
     opts = SRBAStereoSLAMOptions(
+        orb_adaptive_fast_th=True,
         camera=cam, n_feats=500, detect_fast_th=20,
         adaptive_th_min_matches=100, max_translation=2.0, max_rotation=25.0,
         updated_matches_th=60, vo_id_tracking_th=40,
         srba_submap_size=10, srba_max_tree_depth=4, srba_max_optimize_depth=5,
-        srba_kernel_param=1.5, da_filter_by_direction=False, residual_th=30.0,
+        srba_kernel_param=1.5, da_filter_by_direction=True,  # reference
+        # parity: the canonical KITTI config enables the direction filter
+        # (demo/config_imgdir_kitti_srba.ini:124); round-3 fixed the
+        # binning to the reference's stacked-image slope so it no longer
+        # starves forward motion
+        residual_th=30.0,
     )
     est = SRBAStereoSLAMEstimator(
         GeneralOptions(), opts, VOOptions(fast_th=20, n_feats=500),

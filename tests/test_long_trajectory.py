@@ -37,6 +37,7 @@ def test_circuit_loop_closure_ate():
                           scene="ground", laps=2.25)
     frames = list(src)
     opts = SRBAStereoSLAMOptions(
+        orb_adaptive_fast_th=True,
         camera=cam, n_feats=192, detect_fast_th=10,
         adaptive_th_min_matches=40, max_translation=0.8, max_rotation=15.0,
         updated_matches_th=35, vo_id_tracking_th=30, srba_submap_size=5,

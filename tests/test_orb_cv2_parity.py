@@ -105,3 +105,32 @@ def test_ransac_inliers_agree_with_cv2(rng):
     assert ours[is_out].mean() < 0.1 and cv[is_out].mean() < 0.1
     agree = (ours == cv).mean()
     assert agree > 0.9, agree
+
+
+def test_upright_general_path_matches_fast_path():
+    """patch_safe=False (the documented escape hatch for keypoints near the
+    border) must keep the UPRIGHT contract: for interior keypoints the
+    general gather path and the block-gather fast path are bit-identical,
+    and the pattern is NOT steered by the computed orientation (regression:
+    the theta-zeroing branch was lost when the fast path landed)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from srba_slam_tpu.ops.orb import describe
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (120, 160)).astype(np.float32)
+    ys = np.array([30, 40, 60, 80, 90], np.int32)
+    xs = np.array([40, 100, 70, 30, 120], np.int32)
+    valid = np.ones(5, bool)
+    d_fast, _t0 = describe(jnp.asarray(img), jnp.asarray(ys), jnp.asarray(xs),
+                           jnp.asarray(valid), oriented=False,
+                           patch_safe=True)
+    d_gen, _t1 = describe(jnp.asarray(img), jnp.asarray(ys), jnp.asarray(xs),
+                          jnp.asarray(valid), oriented=False,
+                          patch_safe=False)
+    np.testing.assert_array_equal(np.asarray(d_fast), np.asarray(d_gen))
+    # and the oriented path differs (so the upright check is not vacuous)
+    d_or, _t2 = describe(jnp.asarray(img), jnp.asarray(ys), jnp.asarray(xs),
+                         jnp.asarray(valid), oriented=True, patch_safe=False)
+    assert (np.asarray(d_or) != np.asarray(d_gen)).any()

@@ -63,6 +63,7 @@ def _fleet_estimator(cam, n_feats=128, voc=None):
     from srba_slam_tpu.models.estimator import SRBAStereoSLAMEstimator
 
     opts = SRBAStereoSLAMOptions(
+        orb_adaptive_fast_th=True,
         camera=cam, n_feats=n_feats, detect_fast_th=12,
         adaptive_th_min_matches=30, max_translation=0.5, max_rotation=10.0,
         updated_matches_th=30, vo_id_tracking_th=25, srba_submap_size=5,

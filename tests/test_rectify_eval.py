@@ -121,6 +121,7 @@ def test_rectify_wired_into_pipeline(rng):
 
     def run(frames, rectify):
         opts = SRBAStereoSLAMOptions(
+            orb_adaptive_fast_th=True,
             camera=cam, n_feats=256, detect_fast_th=12,
             adaptive_th_min_matches=40, max_translation=0.5,
             max_rotation=10.0, updated_matches_th=40, vo_id_tracking_th=30,

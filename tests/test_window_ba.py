@@ -124,3 +124,134 @@ def test_ba_ignores_padding(rng):
     np.testing.assert_allclose(
         np.asarray(r1.cam_pose), np.asarray(r2.cam_pose), atol=1e-5
     )
+
+
+# --------------------------------------------------------------------------
+# init-anchor prior (SRBAParams.anchor_prior_w_rot/_trans — a documented
+# deviation from the reference SRBA objective; see ops/window_ba.py) and the
+# stage-1 pose-only pass (≙ use_robust_kernel_stage1, reference .cpp:1159)
+# --------------------------------------------------------------------------
+
+def _make_contaminated_window(n_true_cross=12, n_alias=8,
+                              fold_t=(1.0, 0.0, 0.2),
+                              fold_r=(0.0, 0.05, 0.0), seed=0):
+    """Root (new KF, frozen) + one older camera that bases a landmark cloud.
+    The root observes ``n_true_cross`` landmarks at TRUE geometry plus
+    ``n_alias`` perceptually-aliased observations consistent with the older
+    camera displaced by ``fold`` — the contaminated-consensus scenario that
+    could fold the established map before the anchor prior landed."""
+    rng = np.random.default_rng(seed)
+    C, L, O = 8, 256, 512
+    gt_cam1 = np.array([0.0, 0.0, 0.0, 0.15, -0.1, -1.5])
+    n_lms = n_true_cross + n_alias + 40
+    lm_pos1 = np.stack([
+        rng.uniform(-6, 6, n_lms), rng.uniform(-1.5, 1.5, n_lms),
+        rng.uniform(8, 25, n_lms)], -1)
+
+    def project(pc):
+        ul = CAM.cx_l + CAM.fx_l * pc[0] / pc[2]
+        vl = CAM.cy_l + CAM.fy_l * pc[1] / pc[2]
+        ur = CAM.cx_r + CAM.fx_r * (pc[0] - CAM.baseline) / pc[2]
+        return [ul, vl, ur]
+
+    obs_cam, obs_lm, obs_px = [], [], []
+    for l in range(n_lms):  # camera-1 self observations (exact)
+        obs_cam.append(1); obs_lm.append(l); obs_px.append(project(lm_pos1[l]))
+    for l in range(n_true_cross):  # root's true cross observations
+        pw = se3_np.transform_point(gt_cam1, lm_pos1[l])
+        obs_cam.append(0); obs_lm.append(l); obs_px.append(project(pw))
+    fold = np.concatenate([fold_r, fold_t])
+    cam1_folded = se3_np.compose(gt_cam1, fold)
+    for l in range(n_true_cross, n_true_cross + n_alias):  # aliased set
+        pw = se3_np.transform_point(cam1_folded, lm_pos1[l])
+        if pw[2] < 1.0:
+            continue
+        obs_cam.append(0); obs_lm.append(l); obs_px.append(project(pw))
+
+    cam_pose = np.zeros((C, 6), np.float32)
+    cam_pose[1] = gt_cam1
+    lm_arr = np.zeros((L, 3), np.float32); lm_arr[:n_lms] = lm_pos1
+    lm_base = np.zeros(L, np.int32); lm_base[:n_lms] = 1
+    oc = np.zeros(O, np.int32); ol = np.zeros(O, np.int32)
+    op = np.zeros((O, 3), np.float32); ov = np.zeros(O, bool)
+    n_o = len(obs_cam)
+    oc[:n_o] = obs_cam; ol[:n_o] = obs_lm; op[:n_o] = obs_px; ov[:n_o] = True
+    win = BAWindow(
+        cam_pose=jnp.asarray(cam_pose), cam_valid=jnp.asarray(np.arange(C) < 2),
+        lm_pos=jnp.asarray(lm_arr), lm_base=jnp.asarray(lm_base),
+        lm_valid=jnp.asarray(np.arange(L) < n_lms),
+        obs_cam=jnp.asarray(oc), obs_lm=jnp.asarray(ol),
+        obs_px=jnp.asarray(op), obs_valid=jnp.asarray(ov))
+    return win, gt_cam1
+
+
+def test_anchor_prior_blocks_contaminated_fold():
+    """(a) with the prior at its defaults the older camera stays near its
+    spanning-tree init despite the aliased consensus; (c) with the prior off
+    (pre-anchor behavior) the weakly-determined system wanders meters."""
+    win, gt1 = _make_contaminated_window()
+    res_on = optimize_window(win, CAM, kernel_param=1.5, max_iters=25,
+                             w_prior_rot=1000.0, w_prior_trans=100.0)
+    res_off = optimize_window(win, CAM, kernel_param=1.5, max_iters=25,
+                              w_prior_rot=0.0, w_prior_trans=0.0)
+    d_on = np.linalg.norm(np.asarray(res_on.cam_pose)[1, 3:] - gt1[3:])
+    d_off = np.linalg.norm(np.asarray(res_off.cam_pose)[1, 3:] - gt1[3:])
+    assert d_on < 1.0, f"prior on: map folded {d_on:.2f} m"
+    assert d_off > 2.0, f"prior off should reproduce the fold ({d_off:.2f} m)"
+
+
+def test_anchor_prior_leaves_loop_closure_free():
+    """(b) an information-rich drift correction (the loop-closure case: the
+    window init already composes through the fresh closure edge, and ALL
+    observations consistently demand the correction) must still happen —
+    the prior may leave only a small residual bias."""
+    rng = np.random.default_rng(3)
+    win, gt_cam, _ = _make_window(rng, pose_noise=0.0, lm_noise=0.0)
+    cp = np.asarray(win.cam_pose).copy()
+    cp[3, 3] += 0.5
+    cp[3, 5] += 0.3
+    win = win._replace(cam_pose=jnp.asarray(cp))
+    res = optimize_window(win, CAM, kernel_param=1.5, max_iters=25,
+                          w_prior_rot=1000.0, w_prior_trans=100.0)
+    err = np.linalg.norm(np.asarray(res.cam_pose)[3, 3:] - gt_cam[3, 3:])
+    assert err < 0.03, f"prior blocked a 0.58 m information-rich correction ({err:.3f} m)"
+    # prior off converges exactly (pre-anchor behavior preserved at w=0)
+    res0 = optimize_window(win, CAM, kernel_param=1.5, max_iters=25,
+                           w_prior_rot=0.0, w_prior_trans=0.0)
+    err0 = np.linalg.norm(np.asarray(res0.cam_pose)[3, 3:] - gt_cam[3, 3:])
+    assert err0 < 1e-3
+
+
+def test_stage1_pose_only_refinement(rng):
+    """stage-1 (pose-only, ≙ SRBA's new-edge optimization pass) reduces the
+    observation RMSE before the full BA, and leaves landmarks untouched when
+    run alone."""
+    win, gt_cam, _ = _make_window(rng, pose_noise=0.05, lm_noise=0.0)
+    # init rmse (no optimization at all): stage1_iters=0 reports the init
+    base = optimize_window(win, CAM, max_iters=1, stage1_iters=0)
+    rmse_init = float(base.obs_rmse_stg1)
+    res = optimize_window(win, CAM, max_iters=15, stage1_iters=8)
+    assert float(res.obs_rmse_stg1) < 0.5 * rmse_init
+    # stage 2 minimizes robust cost + anchor prior, so the RAW rmse may
+    # differ slightly from the pose-only stage-1 value; both must be small
+    assert float(res.obs_rmse) < 0.1
+
+
+def test_stage1_kernel_flag_changes_stage1(rng):
+    """use_robust_kernel_stage1 must change the stage-1 behavior when the
+    window carries outliers (≙ srba_use_robust_kernel_stage1 consumed, not
+    just parsed)."""
+    win, gt_cam, _ = _make_window(rng, pose_noise=0.05, lm_noise=0.0)
+    op = np.asarray(win.obs_px).copy()
+    ov = np.asarray(win.obs_valid)
+    n_o = int(ov.sum())
+    bad = rng.choice(n_o, n_o // 5, replace=False)
+    op[bad] += 80.0
+    win = win._replace(obs_px=jnp.asarray(op))
+    r_kern = optimize_window(win, CAM, kernel_param=1.5, max_iters=1,
+                             stage1_iters=8, use_kernel_stage1=True)
+    r_nokern = optimize_window(win, CAM, kernel_param=1.5, max_iters=1,
+                               stage1_iters=8, use_kernel_stage1=False)
+    s1_kern = float(r_kern.obs_rmse_stg1)
+    s1_nokern = float(r_nokern.obs_rmse_stg1)
+    assert abs(s1_kern - s1_nokern) > 1e-3, "stage-1 kernel flag had no effect"
