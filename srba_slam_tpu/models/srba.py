@@ -99,9 +99,13 @@ class NewKFInfo:
 
 class SRBAEngine:
     def __init__(self, cam: StereoCamera, params: SRBAParams | None = None,
-                 logger=None, on_commit=None, lazy: bool = False):
+                 logger=None, on_commit=None, lazy: bool = False, mesh=None):
         self.cam = cam
         self.p = params or SRBAParams()
+        # optional jax.sharding.Mesh: window solves run observation-sharded
+        # across it (ops/window_ba.shard_window_obs) — ONE sequence's bundle
+        # adjustment spread over the mesh's chips
+        self.mesh = mesh
         self.log = logger if logger is not None else (lambda level, msg: None)
         # called as on_commit(kf_id, old_root_global, new_root_global) after a
         # deferred window solve lands, so the owner can re-anchor bookkeeping
@@ -548,10 +552,7 @@ class SRBAEngine:
         opx[:n_o] = self.obs_px[: self.n_obs][sel]
         ov[:n_o] = True
 
-        ints, floats = pack_window(cam_pose, cam_valid, lm_pos, lm_base_loc,
-                                   lm_valid, oc, ol, opx, ov)
-        res = optimize_window_packed(
-            jnp.asarray(ints), jnp.asarray(floats), C, L, O, self.cam,
+        kw = dict(
             kernel_param=p.kernel_param,
             max_iters=p.opt_iters,
             use_kernel=p.use_robust_kernel,
@@ -560,6 +561,25 @@ class SRBAEngine:
             stage1_iters=p.stage1_iters,
             use_kernel_stage1=p.use_robust_kernel_stage1,
         )
+        if self.mesh is not None:
+            # mesh mode: observation-sharded SPMD window solve (one
+            # sequence's BA across the mesh; see shard_window_obs)
+            from srba_slam_tpu.ops.window_ba import shard_window_obs
+
+            win = BAWindow(
+                cam_pose=jnp.asarray(cam_pose), cam_valid=jnp.asarray(cam_valid),
+                lm_pos=jnp.asarray(lm_pos), lm_base=jnp.asarray(lm_base_loc),
+                lm_valid=jnp.asarray(lm_valid), obs_cam=jnp.asarray(oc),
+                obs_lm=jnp.asarray(ol), obs_px=jnp.asarray(opx),
+                obs_valid=jnp.asarray(ov))
+            res = optimize_window(shard_window_obs(win, self.mesh), self.cam,
+                                  **kw)
+        else:
+            ints, floats = pack_window(cam_pose, cam_valid, lm_pos,
+                                       lm_base_loc, lm_valid, oc, ol, opx, ov)
+            res = optimize_window_packed(
+                jnp.asarray(ints), jnp.asarray(floats), C, L, O, self.cam,
+                **kw)
         info = NewKFInfo(
             kf_id=root,
             created_edges=created_edges,

@@ -201,6 +201,31 @@ def optimize_window_packed(
                                  stage1_iters, use_kernel_stage1)
 
 
+def shard_window_obs(win: BAWindow, mesh, axis: str = "obs") -> BAWindow:
+    """Lay a window out for MESH-PARALLEL optimization: the observation
+    arrays (the FLOP-heavy axis — every LM iteration contracts O x {C, L}
+    one-hot matmuls over it) are sharded across ``mesh``'s ``axis``; the
+    small camera/landmark state replicates. Passing the result to
+    :func:`optimize_window` compiles an SPMD program where each device
+    assembles its observation shard's Hessian/gradient contribution and
+    XLA inserts the cross-device psums; the tiny Schur/Cholesky solve
+    replicates. O must be divisible by the mesh axis size (window
+    capacities are powers of two).
+
+    This is the intra-step scale-out the reference cannot express (it is
+    single-threaded C++): one SLAM sequence's bundle adjustment spread
+    over ICI instead of one chip.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    repl = NamedSharding(mesh, PartitionSpec())
+    obs = NamedSharding(mesh, PartitionSpec(axis))
+    sh = BAWindow(cam_pose=repl, cam_valid=repl, lm_pos=repl, lm_base=repl,
+                  lm_valid=repl, obs_cam=obs, obs_lm=obs, obs_px=obs,
+                  obs_valid=obs)
+    return jax.device_put(win, sh)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iters", "use_kernel",
                                              "stage1_iters",
                                              "use_kernel_stage1"))

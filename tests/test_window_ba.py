@@ -255,3 +255,69 @@ def test_stage1_kernel_flag_changes_stage1(rng):
     s1_kern = float(r_kern.obs_rmse_stg1)
     s1_nokern = float(r_nokern.obs_rmse_stg1)
     assert abs(s1_kern - s1_nokern) > 1e-3, "stage-1 kernel flag had no effect"
+
+
+def test_mesh_sharded_window_matches_unsharded(rng):
+    """Observation-sharded SPMD window BA (shard_window_obs + the same
+    optimize_window program) must reproduce the single-device result: the
+    assembly psums only reorder float sums."""
+    import jax
+    from jax.sharding import Mesh
+
+    from srba_slam_tpu.ops.window_ba import shard_window_obs
+
+    win, gt_cam, _ = _make_window(rng, px_noise=0.3)
+    devs = np.array(jax.devices()[:8])
+    assert len(devs) == 8, "conftest provides an 8-device CPU mesh"
+    mesh = Mesh(devs, ("obs",))
+    res_1 = optimize_window(win, CAM, kernel_param=1.5, max_iters=10)
+    res_8 = optimize_window(shard_window_obs(win, mesh), CAM,
+                            kernel_param=1.5, max_iters=10)
+    np.testing.assert_allclose(np.asarray(res_8.cam_pose),
+                               np.asarray(res_1.cam_pose), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(res_8.lm_pos),
+                               np.asarray(res_1.lm_pos), atol=5e-3)
+    assert abs(float(res_8.obs_rmse) - float(res_1.obs_rmse)) < 1e-2
+
+
+def test_srba_engine_mesh_mode(rng):
+    """SRBAEngine(mesh=...) runs its window solves observation-sharded and
+    stays numerically consistent with the unsharded engine."""
+    import jax
+    from jax.sharding import Mesh
+
+    from srba_slam_tpu.models.srba import SRBAEngine, SRBAParams
+    from srba_slam_tpu.utils import se3_np
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("obs",))
+
+    def run(mesh_arg):
+        eng = SRBAEngine(CAM, SRBAParams(
+            submap_size=4, max_optimize_depth=3, max_kfs=16,
+            win_cams=8, win_lms=1024, win_obs=2048, opt_iters=6),
+            mesh=mesh_arg)
+        rng2 = np.random.default_rng(5)
+        lms_w = np.stack([rng2.uniform(-6, 6, 80), rng2.uniform(-2, 2, 80),
+                          rng2.uniform(8, 25, 80)], -1)
+        for kf in range(6):
+            pose = np.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.8 * kf])
+            inv = se3_np.inverse(pose)
+            ids, px, rel = [], [], []
+            for j, pw in enumerate(lms_w):
+                pc = se3_np.transform_point(inv, pw)
+                if pc[2] < 2.0:
+                    continue
+                ids.append(j)
+                px.append([CAM.cx_l + CAM.fx_l * pc[0] / pc[2],
+                           CAM.cy_l + CAM.fy_l * pc[1] / pc[2],
+                           CAM.cx_r + CAM.fx_r * (pc[0] - CAM.baseline) / pc[2]])
+                rel.append(pc)
+            if kf:
+                eng.set_initial_kf_pose(np.array([0, 0, 0, 0, 0, 0.8]))
+            eng.define_new_keyframe(
+                (np.asarray(ids, np.int64), np.asarray(px, np.float64),
+                 np.asarray(rel, np.float64)), run_opt=kf > 0)
+        eng.flush()
+        return eng.kf_global[:6].copy()
+
+    np.testing.assert_allclose(run(mesh), run(None), atol=1e-3)
