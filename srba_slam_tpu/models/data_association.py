@@ -327,6 +327,148 @@ def query_and_associate(
 @functools.partial(
     jax.jit,
     static_argnames=("filter_by_direction", "use_fund_matrix", "use_change_pose",
+                     "n_query", "ransac_n_hyp"),
+    donate_argnums=(1, 2),
+)
+def fused_check_write(
+    feats,                       # FrameFeatures batch [B, ...] (vo_scan output)
+    store_arrays: KFArrays,      # donated
+    db: jax.Array,               # BoW database [MAX_KFS, W] (donated)
+    leaf_bits: jax.Array,
+    weights: jax.Array,
+    j: jax.Array,                # frame index within the batch
+    n_kfs: jax.Array,            # candidate count == speculative row index
+    cam: StereoCamera,
+    key: jax.Array,
+    n_query: int = 4,
+    max_orb_distance_da: float = 60.0,
+    residual_th: float = 30.0,
+    max_y_diff_epipolar: float = 2.0,
+    filter_by_direction: bool = True,
+    use_fund_matrix: bool = True,
+    use_change_pose: bool = True,
+    kernel_param: float = 2.0,
+    ransac_n_hyp: int = 128,
+):
+    """ONE dispatch for a whole deferred keyframe check: slice frame j out
+    of the scanned batch, SPECULATIVELY write its keyframe-store and BoW
+    rows at ``n_kfs`` (rows at index >= the committed count are inert — the
+    estimator's speculation model), and run the fused BoW-query + DA
+    cascade. Through tunneled runtimes every jitted CALL costs ~5 ms of
+    host/RPC overhead; the unfused path (slice + query+DA + store write +
+    BoW write) paid that 4x per check.
+
+    Returns (handles, new_store_arrays, new_db) where handles is the exact
+    11-tuple the estimator's ``_kf_decide`` consumes.
+    """
+    from srba_slam_tpu.models.bow import bow_vector
+
+    frame = jax.tree.map(lambda a: a[j], feats)
+    row_vals = (frame.ys_l, frame.xs_l, frame.valid_l, frame.desc_l,
+                frame.ys_r, frame.xs_r, frame.valid_r, frame.desc_r,
+                frame.m_r_idx, frame.m_valid, frame.pts3d, frame.octave)
+    new_arrays = KFArrays(*(arr.at[n_kfs].set(val)
+                            for arr, val in zip(store_arrays, row_vals)))
+    v = bow_vector(frame.desc_l, frame.m_valid, leaf_bits, weights)
+    new_db = jax.lax.dynamic_update_slice(db, v[None, :], (n_kfs, 0))
+
+    scores_all = jnp.sum(jnp.minimum(new_db, v[None, :]), axis=-1)
+    rows = jnp.arange(new_db.shape[0])
+    scores_all = jnp.where(rows < n_kfs, scores_all, -1.0)
+    top_s, top_i = jax.lax.top_k(scores_all, n_query)
+
+    prev_kf = n_kfs - 1
+    cand = jnp.concatenate([prev_kf[None], top_i.astype(jnp.int32)])
+    cand_valid = jnp.concatenate([
+        jnp.asarray([True]),
+        (top_s > 0) & (top_i.astype(jnp.int32) != prev_kf),
+    ])
+    cand = jnp.clip(cand, 0, new_db.shape[0] - 1)
+    da = da_cascade(
+        frame, new_arrays, cand, cand_valid, cam, key,
+        max_orb_distance_da=max_orb_distance_da,
+        residual_th=residual_th,
+        max_y_diff_epipolar=max_y_diff_epipolar,
+        filter_by_direction=filter_by_direction,
+        use_fund_matrix=use_fund_matrix,
+        use_change_pose=use_change_pose,
+        kernel_param=kernel_param,
+        ransac_n_hyp=ransac_n_hyp,
+    )
+    handles = pack_check_outputs(top_s, top_i, da, frame)
+    return handles, new_arrays, new_db
+
+
+def pack_check_outputs(top_s, top_i, da: DAResult, frame) -> tuple:
+    """Pack a check's 11 output arrays into TWO device blobs (one int32,
+    one f32). The tunneled runtime pays a per-ARRAY overhead (~1.5-2 ms) on
+    every pulled buffer — a batch's pull used to fetch ~80 small arrays and
+    spend >100 ms on that alone. Host side: unpack_check_outputs."""
+    ints = jnp.concatenate([
+        top_i.astype(jnp.int32),                 # [nq]
+        da.status.astype(jnp.int32).ravel(),     # [S*K]
+        da.other_idx.ravel(),                    # [S*K]
+        da.tracked_count.astype(jnp.int32),      # [S]
+        frame.m_valid.astype(jnp.int32),         # [K]
+        frame.xs_l, frame.ys_l, frame.xs_r,      # 3x [K]
+        frame.m_r_idx,                           # [K]
+    ])
+    floats = jnp.concatenate([top_s, frame.pts3d.ravel()])
+    return ints, floats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("filter_by_direction", "use_fund_matrix", "use_change_pose",
+                     "n_query", "ransac_n_hyp"),
+)
+def query_and_associate_packed(
+    cur: FrameFeatures, store_arrays: KFArrays, db, leaf_bits, weights,
+    n_kfs, cam: StereoCamera, key,
+    n_query: int = 4, max_orb_distance_da: float = 60.0,
+    residual_th: float = 30.0, max_y_diff_epipolar: float = 2.0,
+    filter_by_direction: bool = True, use_fund_matrix: bool = True,
+    use_change_pose: bool = True, kernel_param: float = 2.0,
+    ransac_n_hyp: int = 128,
+):
+    """query_and_associate with blob-packed outputs (synchronous-check path
+    companion of fused_check_write)."""
+    top_s, top_i, _cand, da = query_and_associate(
+        cur, store_arrays, db, leaf_bits, weights, n_kfs, cam, key,
+        n_query=n_query, max_orb_distance_da=max_orb_distance_da,
+        residual_th=residual_th, max_y_diff_epipolar=max_y_diff_epipolar,
+        filter_by_direction=filter_by_direction,
+        use_fund_matrix=use_fund_matrix, use_change_pose=use_change_pose,
+        kernel_param=kernel_param, ransac_n_hyp=ransac_n_hyp,
+    )
+    return pack_check_outputs(top_s, top_i, da, cur)
+
+
+def unpack_check_outputs(ints, floats, s: int, k: int, nq: int) -> tuple:
+    """Inverse of pack_check_outputs on HOST numpy arrays; returns the
+    11-tuple (scores, ids, status, other_idx, tracked, m_valid, xs_l, ys_l,
+    xs_r, m_r_idx, pts3d) the estimator's decision logic consumes."""
+    import numpy as np
+
+    o = 0
+    top_i = ints[o:o + nq]; o += nq
+    status = ints[o:o + s * k].reshape(s, k).astype(np.int8); o += s * k
+    other_idx = ints[o:o + s * k].reshape(s, k); o += s * k
+    tracked = ints[o:o + s]; o += s
+    m_valid = ints[o:o + k].astype(bool); o += k
+    xs_l = ints[o:o + k]; o += k
+    ys_l = ints[o:o + k]; o += k
+    xs_r = ints[o:o + k]; o += k
+    m_r_idx = ints[o:o + k]
+    top_s = floats[:nq]
+    pts3d = floats[nq:nq + 3 * k].reshape(k, 3)
+    return (top_s, top_i, status, other_idx, tracked, m_valid, xs_l, ys_l,
+            xs_r, m_r_idx, pts3d)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("filter_by_direction", "use_fund_matrix", "use_change_pose",
                      "ransac_n_hyp"),
 )
 def da_cascade(

@@ -53,6 +53,34 @@ def _slice_frame(feats, j):
     return jax.tree.map(lambda a: a[j], feats)
 
 
+@jax.jit
+def _pack_scan_outs(track_idx, track_valid, m_valid, poses, pose_valid,
+                    mean_res, last_inc):
+    """Pack the scan's 7 pulled arrays into (int32 blob, f32 blob) — the
+    tunneled runtime pays per-ARRAY pull overhead (see
+    data_association.pack_check_outputs)."""
+    ints = jnp.concatenate([
+        track_idx.ravel(),
+        track_valid.astype(jnp.int32).ravel(),
+        m_valid.astype(jnp.int32).ravel(),
+        pose_valid.astype(jnp.int32),
+    ])
+    floats = jnp.concatenate([poses.ravel(), mean_res, last_inc])
+    return ints, floats
+
+
+def _unpack_scan_outs(ints, floats, b: int, k: int):
+    o = 0
+    track_idx = ints[o:o + b * k].reshape(b, k); o += b * k
+    track_valid = ints[o:o + b * k].reshape(b, k).astype(bool); o += b * k
+    m_valid = ints[o:o + b * k].reshape(b, k).astype(bool); o += b * k
+    pose_valid = ints[o:o + b].astype(bool)
+    poses = floats[: b * 6].reshape(b, 6)
+    mean_res = floats[b * 6: b * 7]
+    last_inc = floats[b * 7: b * 7 + 6]
+    return track_idx, track_valid, m_valid, poses, pose_valid, mean_res, last_inc
+
+
 @dataclass
 class StepResult:
     """What happened to one frame (for logging / tests)."""
@@ -293,6 +321,14 @@ class SRBAStereoSLAMEstimator:
                 return None
             return np.stack(lefts), np.stack(rights)
 
+        def stage(chunk):
+            """Start the host->device UPLOAD of a chunk immediately (async);
+            returns (lefts_dev, rights_dev). Through the tunneled runtime the
+            link is the first bottleneck (~0.9 MB/frame of uint8 at
+            ~50-65 MB/s), so uploads are staged TWO batches ahead — the link
+            never idles waiting for the current batch's processing."""
+            return (jnp.asarray(chunk[0]), jnp.asarray(chunk[1]))
+
         # software pipeline: batch n+1's VO scan is dispatched from INSIDE
         # batch n's _process_scan, immediately after batch n's pull and
         # threshold drift — so the next batch always launches with its final
@@ -300,19 +336,27 @@ class SRBAStereoSLAMEstimator:
         # fires; matches hovering around 1.2*adaptive_th made that discard
         # happen EVERY batch) while its upload and device compute still
         # overlap all of batch n's keyframe logic and batch n+1's pull wait.
+        # Uploads additionally prefetch one more batch ahead (see stage()).
         cur_chunk = take()
-        disp = self._dispatch_scan(*cur_chunk) if cur_chunk else None
-        nxt_chunk = None
+        disp = (
+            self._dispatch_scan(*stage(cur_chunk), host=cur_chunk)
+            if cur_chunk else None
+        )
+        nxt_chunk = take()
+        nxt_dev = stage(nxt_chunk) if nxt_chunk is not None else None
+        n2_chunk = None
         while disp is not None:
-            nxt_chunk = take()
+            n2_chunk = take()  # stage n+2's upload before processing n
+            n2_dev = stage(n2_chunk) if n2_chunk is not None else None
 
-            def next_fn(chain_disp, nc=nxt_chunk):
-                return self._dispatch_scan(*nc, chain=chain_disp)
+            def next_fn(chain_disp, nd=nxt_dev, nc=nxt_chunk):
+                return self._dispatch_scan(*nd, chain=chain_disp, host=nc)
 
             nxt = self._process_scan(
                 disp, next_fn if nxt_chunk is not None else None)
             disp = nxt
             n_spec_ins = sum(1 for c in self._spec if c["ins"])
+            stop = False
             if self.general.max_num_kfs and \
                     self.store.n_kfs + n_spec_ins >= self.general.max_num_kfs:
                 # the predicted count includes unresolved speculative inserts;
@@ -321,17 +365,23 @@ class SRBAStereoSLAMEstimator:
                 # and re-evaluate on the COMMITTED count
                 self._resolve_pending_checks()
                 if self.store.n_kfs >= self.general.max_num_kfs:
-                    break
+                    stop = True
             if self.general.to_step and self.frame_idx >= self.general.to_step:
+                stop = True
+            if stop:
                 break
-            nxt_chunk = None
+            nxt_chunk, nxt_dev = n2_chunk, n2_dev
+            n2_chunk = None
         self._finish_batched()
-        if nxt_chunk is not None:
-            # a stop condition fired with a prefetched-but-unprocessed chunk
-            # in hand: stash it so callers sharing the frame iterator (or a
-            # follow-up perform call) don't silently lose up to `batch`
-            # frames to the prefetch
-            self._stashed_frames = list(zip(*nxt_chunk))
+        leftovers = [c for c in (nxt_chunk, n2_chunk)
+                     if c is not None and disp is not None]
+        if leftovers:
+            # a stop condition fired with prefetched-but-unprocessed chunks
+            # in hand: stash them so callers sharing the frame iterator (or a
+            # follow-up perform call) don't silently lose frames to the
+            # prefetch
+            self._stashed_frames = [fr for c in leftovers
+                                    for fr in zip(*c)]
         return self.step_log
 
     def step_batch(self, lefts: np.ndarray, rights: np.ndarray):
@@ -342,11 +392,15 @@ class SRBAStereoSLAMEstimator:
         self._process_scan(self._dispatch_scan(lefts, rights))
         self._finish_batched()
 
-    def _dispatch_scan(self, lefts: np.ndarray, rights: np.ndarray,
-                       chain: dict | None = None) -> dict:
-        """Dispatch one vo_scan batch (async). ``chain`` continues from an
-        earlier un-processed dispatch's device outputs (prefetch); otherwise
-        the scan chains from the engine's current state."""
+    def _dispatch_scan(self, lefts, rights, chain: dict | None = None,
+                       host: tuple | None = None) -> dict:
+        """Dispatch one vo_scan batch (async). ``lefts``/``rights`` may be
+        host numpy OR already-staged device arrays (the batched loop uploads
+        two batches ahead). ``chain`` continues from an earlier un-processed
+        dispatch's device outputs (prefetch); otherwise the scan chains from
+        the engine's current state. ``host``, when given, holds the numpy
+        copies kept for the adaptive-retry tail re-dispatch (avoids a
+        device->host download of the frames)."""
         from srba_slam_tpu.models.vo import vo_scan
 
         eng = self.vo
@@ -374,8 +428,13 @@ class SRBAStereoSLAMEstimator:
             filter_fund_matrix=o.filter_fund_matrix,
             rect_maps=eng.rect_maps,
         )
-        return dict(outs=outs, last_feat=last_feat, last_inc=last_inc,
-                    b=lefts.shape[0], lefts=lefts, rights=rights,
+        h_l, h_r = host if host is not None else (lefts, rights)
+        (feats, track_idx, track_valid, poses, pose_valid, _n_inl,
+         mean_res) = outs
+        pk = _pack_scan_outs(track_idx, track_valid, feats.m_valid, poses,
+                             pose_valid, mean_res, last_inc)
+        return dict(outs=outs, pk=pk, last_feat=last_feat, last_inc=last_inc,
+                    b=lefts.shape[0], lefts=h_l, rights=h_r,
                     prev_feat=prev_feat, prev_inc=prev_inc)
 
     def _process_scan(self, disp: dict, next_fn=None):
@@ -402,21 +461,18 @@ class SRBAStereoSLAMEstimator:
         b = disp["b"]
         eng = self.vo
         last_feat, last_inc = disp["last_feat"], disp["last_inc"]
-        (feats, track_idx, track_valid, poses, pose_valid, n_inl, mean_res) \
-            = disp["outs"]
+        feats = disp["outs"][0]
         pend = self.rba.pending_device_arrays()
         spec = self._spec
         spec_handles = tuple(h for c in spec for h in c["handles"])
-        pulled = jax.device_get(
-            (track_idx, track_valid, feats.m_valid, poses, pose_valid,
-             mean_res, last_inc) + pend + spec_handles
-        )
+        pulled = jax.device_get(disp["pk"] + pend + spec_handles)
         (track_idx, track_valid, m_valid, poses, pose_valid, mean_res,
-         last_inc_h) = pulled[:7]
+         last_inc_h) = _unpack_scan_outs(pulled[0], pulled[1], b,
+                                         self.capacity)
         if pend:
-            self.rba.commit_pending(pulled[7:7 + len(pend)])
+            self.rba.commit_pending(pulled[2:2 + len(pend)])
         if spec:
-            self._resolve_spec(pulled[7 + len(pend):])
+            self._resolve_spec(pulled[2 + len(pend):])
         self._reanchor_if_dirty()
 
         batch_rec = dict(feats=feats, track_idx=track_idx,
@@ -549,7 +605,6 @@ class SRBAStereoSLAMEstimator:
                 continue
             res.kf_check = True
             self.incr_from_last_check = np.zeros(6)
-            frame_j = _slice_frame(feats, jnp.int32(j))  # ONE dispatch
             if defer and self.store.n_kfs + sum(
                     1 for x in self._spec if x["ins"]) >= self.max_kfs:
                 # at keyframe capacity an insert prediction would write out
@@ -564,8 +619,9 @@ class SRBAStereoSLAMEstimator:
                     return
                 defer = False
             if defer:
-                self._defer_check(frame_j, res, force_new_kf, batch_rec, j)
+                self._defer_check(res, force_new_kf, batch_rec, j)
             else:
+                frame_j = _slice_frame(feats, jnp.int32(j))  # ONE dispatch
                 new_ids = self._kf_check(frame_j, res, force_new_kf)
                 if new_ids is not None:
                     self._bp = np.where(m_valid[j], np.arange(k), -1)
@@ -594,9 +650,10 @@ class SRBAStereoSLAMEstimator:
     # the true outcome, and replays the batch tail with synchronous checks —
     # results stay identical to per-frame stepping either way.
 
-    _N_CHECK_HANDLES = 11  # length of _kf_check_dispatch's tuple
+    _N_CHECK_HANDLES = 2  # (int32 blob, f32 blob) per check — see
+    # data_association.pack_check_outputs (per-array pull overhead)
 
-    def _defer_check(self, frame_j, res: StepResult, force_new_kf: bool,
+    def _defer_check(self, res: StepResult, force_new_kf: bool,
                      batch_rec: dict, j: int):
         """Dispatch a keyframe check without pulling it; speculate on the
         predicted outcome."""
@@ -618,13 +675,34 @@ class SRBAStereoSLAMEstimator:
         )
         n_pending_ins = sum(1 for x in self._spec if x["ins"])
         spec_row = self.store.n_kfs + n_pending_ins
-        handles = self._kf_check_dispatch(frame_j, n_kfs=spec_row)
+        # ONE fused dispatch: frame slice + speculative store/BoW row write
+        # (always — rows beyond the committed counters are inert either
+        # way) + BoW query + DA cascade. Unfused this was 4 jitted calls
+        # per check at ~5 ms of tunnel RPC overhead each.
+        from srba_slam_tpu.models.data_association import fused_check_write
+
+        m = self.opts.da_stage2_method
+        self._da_key, sub = jax.random.split(self._da_key)
+        with self.profiler.section("queryDB"):
+            handles, new_arrays, new_db = fused_check_write(
+                batch_rec["feats"], self.store.arrays, self.bow._db,
+                self.bow._leaf_bits, self.bow._weights,
+                jnp.int32(j), jnp.int32(spec_row), self.cam, sub,
+                max_orb_distance_da=self.opts.max_orb_distance_da,
+                residual_th=self.opts.residual_th,
+                max_y_diff_epipolar=self.opts.max_y_diff_epipolar,
+                filter_by_direction=self.opts.da_filter_by_direction,
+                use_fund_matrix=m in (1, 3),
+                use_change_pose=m in (2, 3),
+                kernel_param=self.vo_opts.kernel_param,
+                ransac_n_hyp=self._ransac_n_hyp,
+            )
+        self.store.arrays = new_arrays
+        self.bow._db = new_db
         snap["da_key"] = self._da_key  # post-split: replay re-splits in order
-        if predict_insert:
-            self.store.write_row(frame_j, spec_row)
-            self.bow.write_row(frame_j.desc_l, frame_j.m_valid, spec_row)
         self._spec.append(dict(
-            handles=handles, frame=frame_j, res=res, force=force_new_kf,
+            handles=handles, frame=None, frame_ref=(batch_rec["feats"], j),
+            res=res, force=force_new_kf,
             ins=predict_insert, m_valid_j=m_valid[j],
             incr_at_check=snap["incr_kf"], snap=snap, spec_row=spec_row))
         if predict_insert:
@@ -638,6 +716,15 @@ class SRBAStereoSLAMEstimator:
         # predicted no-insert: state untouched (the overwhelmingly common
         # no-insert outcome changes nothing — threshold shrink only happens
         # in the narrow best ∈ [th, th+plus] window and counts as a miss)
+
+    def _spec_frame(self, c: dict):
+        """Materialize a deferred check's sliced frame lazily (only the
+        miss-recovery replay and debug dumps need it — the hit path works
+        entirely from the fused check's handles)."""
+        if c.get("frame") is None:
+            feats, j = c["frame_ref"]
+            c["frame"] = _slice_frame(feats, jnp.int32(j))
+        return c["frame"]
 
     def _resolve_spec(self, vals: tuple):
         """Retro-process deferred checks in order from their pulled values.
@@ -663,7 +750,8 @@ class SRBAStereoSLAMEstimator:
                 return
             if d["insert"]:
                 last_ins_ids = self._kf_apply(
-                    d, c["frame"], c["res"],
+                    d, self._spec_frame(c) if self.debug.enabled else None,
+                    c["res"],
                     initial_rel=c["incr_at_check"], pre_written=True)
             # no-insert hit: nothing to do (decide set the log fields)
         if checks:
@@ -696,10 +784,10 @@ class SRBAStereoSLAMEstimator:
         self._ref_ids = snap["ref_ids"]
         self._da_key = snap["da_key"]
         if d["insert"]:
-            # late insertion (the row was not pre-written for a no-insert
-            # speculation; pre_written rows of an insert-speculated check
-            # cannot reach here — an insert decision on one is a hit)
-            ids = self._kf_apply(d, c["frame"], c["res"],
+            # late insertion: the speculative row was written at the
+            # DISPATCH-TIME row index, which may not equal the actual kf_id
+            # after earlier mispredictions — re-write at the real slot
+            ids = self._kf_apply(d, self._spec_frame(c), c["res"],
                                  initial_rel=snap["incr_kf"],
                                  pre_written=False)
             self.incr_from_last_kf = np.zeros(6)
@@ -925,14 +1013,16 @@ class SRBAStereoSLAMEstimator:
         alignment inside the cascade, ≙ the role of the spanning-tree
         initialPoseVector at reference .cpp:1840-1868/:2133-2147) — no host
         graph state rides along."""
-        from srba_slam_tpu.models.data_association import query_and_associate
+        from srba_slam_tpu.models.data_association import (
+            query_and_associate_packed,
+        )
 
         m = self.opts.da_stage2_method
         self._da_key, sub = jax.random.split(self._da_key)
         if n_kfs is None:
             n_kfs = self.store.n_kfs
         with self.profiler.section("queryDB"):
-            top_s, top_i, cand, da = query_and_associate(
+            ints, floats = query_and_associate_packed(
                 frame, self.store.arrays, self.bow._db,
                 self.bow._leaf_bits, self.bow._weights,
                 jnp.int32(n_kfs), self.cam, sub,
@@ -945,9 +1035,7 @@ class SRBAStereoSLAMEstimator:
                 kernel_param=self.vo_opts.kernel_param,
                 ransac_n_hyp=self._ransac_n_hyp,
             )
-        return (top_s, top_i, da.status, da.other_idx, da.tracked_count,
-                frame.m_valid, frame.xs_l, frame.ys_l, frame.xs_r,
-                frame.m_r_idx, frame.pts3d)
+        return (ints, floats)
 
     def _kf_check_host(self, pulled: tuple, frame, res: StepResult,
                        force_new_kf: bool):
@@ -976,6 +1064,13 @@ class SRBAStereoSLAMEstimator:
         (query_log, debug dumps, res.best_tracked); threshold side effects
         are returned in the dict and applied by the caller — so the decision
         can be replayed exactly when a speculative check resolves late."""
+        if len(pulled) == 2:  # blob-packed (the only dispatch format now)
+            from srba_slam_tpu.models.data_association import (
+                unpack_check_outputs,
+            )
+
+            pulled = unpack_check_outputs(
+                pulled[0], pulled[1], s=MAX_SIMILAR, k=self.capacity, nq=4)
         (scores, ids, da_status_all, da_oidx_all, tracked_all, f_m_valid,
          f_xs_l, f_ys_l, f_xs_r, f_m_r, f_pts) = pulled
         self.query_log.append((res.frame_idx, np.asarray(scores).copy(),
@@ -1094,7 +1189,8 @@ class SRBAStereoSLAMEstimator:
         else:
             self.store.append(frame, ids, new_global)
             self.bow.insert(frame.desc_l, frame.m_valid)
-        self.debug.dump_kf(kf_id, frame, ids)
+        if frame is not None:
+            self.debug.dump_kf(kf_id, frame, ids)
         # restore thresholds (≙ .cpp:662-663)
         self.updated_translation_th = float(self.opts.max_translation)
         self.updated_rotation_th = float(self.opts.max_rotation)

@@ -572,12 +572,18 @@ class SRBAEngine:
                 lm_valid=jnp.asarray(lm_valid), obs_cam=jnp.asarray(oc),
                 obs_lm=jnp.asarray(ol), obs_px=jnp.asarray(opx),
                 obs_valid=jnp.asarray(ov))
-            res = optimize_window(shard_window_obs(win, self.mesh), self.cam,
-                                  **kw)
+            r = optimize_window(shard_window_obs(win, self.mesh), self.cam,
+                                **kw)
+            res_blob = jnp.concatenate([
+                r.cam_pose.ravel(), r.lm_pos.ravel(),
+                jnp.stack([r.cost_init, r.cost_final, r.obs_rmse,
+                           r.obs_rmse_stg1])])
         else:
+            from srba_slam_tpu.ops.window_ba import optimize_window_packed_blob
+
             ints, floats = pack_window(cam_pose, cam_valid, lm_pos,
                                        lm_base_loc, lm_valid, oc, ol, opx, ov)
-            res = optimize_window_packed(
+            res_blob = optimize_window_packed_blob(
                 jnp.asarray(ints), jnp.asarray(floats), C, L, O, self.cam,
                 **kw)
         info = NewKFInfo(
@@ -593,7 +599,8 @@ class SRBAEngine:
         )
         self._pending.append(dict(
             root=root,
-            res=res,
+            blob=res_blob,
+            C=C, L=L,
             win_arr=win_arr,
             win_map=win_map,
             lms=lms,
@@ -602,18 +609,14 @@ class SRBAEngine:
         ))
         return info
 
-    _N_PENDING_HANDLES = 6
+    _N_PENDING_HANDLES = 1  # one packed f32 blob per solve (per-array pull
+    # overhead on tunneled runtimes; see optimize_window_packed_blob)
 
     def pending_device_arrays(self) -> tuple:
-        """Device arrays of ALL in-flight window solves (oldest first, 6
-        handles each), for merging into the caller's next bulk device_get
-        (empty tuple when nothing is pending)."""
-        out = []
-        for p in self._pending:
-            r = p["res"]
-            out += [r.cam_pose, r.lm_pos, r.cost_init, r.cost_final,
-                    r.obs_rmse, r.obs_rmse_stg1]
-        return tuple(out)
+        """Device arrays of ALL in-flight window solves (oldest first, one
+        packed blob each), for merging into the caller's next bulk
+        device_get (empty tuple when nothing is pending)."""
+        return tuple(p["blob"] for p in self._pending)
 
     def commit_pending(self, host_vals: tuple | None = None):
         """Write back every queued window solve in dispatch order.
@@ -624,17 +627,17 @@ class SRBAEngine:
             return
         nh = self._N_PENDING_HANDLES
         if host_vals is None:
-            host_vals = jax.device_get(tuple(
-                h for p in q
-                for h in (p["res"].cam_pose, p["res"].lm_pos,
-                          p["res"].cost_init, p["res"].cost_final,
-                          p["res"].obs_rmse, p["res"].obs_rmse_stg1)))
+            host_vals = jax.device_get(tuple(p["blob"] for p in q))
         assert len(host_vals) == nh * len(q)
         for i, p in enumerate(q):
             self._commit_one(p, host_vals[nh * i: nh * (i + 1)])
 
     def _commit_one(self, p: dict, host_vals: tuple):
-        cam_opt_f, lm_opt_f, cost_init, cost_final, rmse, rmse_stg1 = host_vals
+        blob = np.asarray(host_vals[0])
+        C, L = p["C"], p["L"]
+        cam_opt_f = blob[: C * 6].reshape(C, 6)
+        lm_opt_f = blob[C * 6: C * 6 + L * 3].reshape(L, 3)
+        cost_init, cost_final, rmse, rmse_stg1 = blob[C * 6 + L * 3:]
         cam_opt = np.asarray(cam_opt_f, np.float64)
         win_map = p["win_map"]
         # keyframes inserted AFTER this solve dispatched are outside its

@@ -201,6 +201,34 @@ def optimize_window_packed(
                                  stage1_iters, use_kernel_stage1)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("C", "L", "O", "max_iters", "use_kernel",
+                              "stage1_iters", "use_kernel_stage1")
+)
+def optimize_window_packed_blob(
+    ints: jax.Array, floats: jax.Array, C: int, L: int, O: int,
+    cam: StereoCamera, kernel_param: float = 1.5, max_iters: int = 12,
+    use_kernel: bool = True,
+    w_prior_rot: float = 1000.0, w_prior_trans: float = 100.0,
+    stage1_iters: int = 0, use_kernel_stage1: bool = True,
+) -> jax.Array:
+    """optimize_window_packed returning ONE f32 blob
+    ``[cam_pose (C*6) | lm_pos (L*3) | cost_init cost_final rmse rmse_stg1]``
+    — the tunneled runtime pays per-ARRAY pull overhead, so the engine's
+    deferred solves travel as a single buffer (unpacked host-side in
+    SRBAEngine._commit_one)."""
+    r = optimize_window_packed(
+        ints, floats, C, L, O, cam, kernel_param=kernel_param,
+        max_iters=max_iters, use_kernel=use_kernel,
+        w_prior_rot=w_prior_rot, w_prior_trans=w_prior_trans,
+        stage1_iters=stage1_iters, use_kernel_stage1=use_kernel_stage1,
+    )
+    return jnp.concatenate([
+        r.cam_pose.ravel(), r.lm_pos.ravel(),
+        jnp.stack([r.cost_init, r.cost_final, r.obs_rmse, r.obs_rmse_stg1]),
+    ])
+
+
 def shard_window_obs(win: BAWindow, mesh, axis: str = "obs") -> BAWindow:
     """Lay a window out for MESH-PARALLEL optimization: the observation
     arrays (the FLOP-heavy axis — every LM iteration contracts O x {C, L}
