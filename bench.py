@@ -43,6 +43,21 @@ CPU_ANCHOR_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 CPU_ANCHOR_FRAMES = 10
 
 
+def _enable_persistent_compile_cache():
+    """Persist compiled executables across processes when the backend
+    supports serialization — the remote compile queue is wildly variable
+    (10 s..10 min for the same program), so a warm disk cache can save the
+    whole warmup."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_srba"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def _build_workload():
     from srba_slam_tpu.utils.camera import StereoCamera
     from srba_slam_tpu.utils.framesource import SyntheticSource
@@ -93,6 +108,7 @@ def cpu_anchor():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    _enable_persistent_compile_cache()
     cam, frames = _build_workload()
     frames = frames[: 3 + CPU_ANCHOR_FRAMES]
     est = _build_estimator(cam)
@@ -133,6 +149,7 @@ def _get_cpu_anchor() -> float | None:
 def main():
     import jax
 
+    _enable_persistent_compile_cache()
     cam, frames = _build_workload()
     cpu_fps = _get_cpu_anchor()
 

@@ -154,3 +154,52 @@ def test_topo_distance():
     assert eng.topo_distance(0, 3) == 3
     assert eng.topo_distance(0, 3, max_depth=2) > 1 << 20
     assert eng.topo_distance(2, 2) == 0
+
+
+def test_window_truncation_keeps_best_supported_landmarks(capsys):
+    """Over-capacity windows keep the MOST-OBSERVED landmarks (round-3
+    policy; the old arbitrary id-prefix silently dropped exactly the
+    well-tracked landmarks a loop-closure window needs), and the warning
+    escalates to unconditional when a loop-closure-scale edge is inside
+    the window."""
+    eng = SRBAEngine(CAM, SRBAParams(
+        submap_size=50, max_optimize_depth=4, max_kfs=8,
+        win_cams=8, win_lms=8, win_obs=64, opt_iters=2), lazy=True)
+
+    # landmarks 0..19; ids 0..7 observed by BOTH KFs (well-supported),
+    # 8..19 observed once. win_lms=8 forces truncation to 8 of 20.
+    def obs_for(kf, ids):
+        n = len(ids)
+        px = np.tile([[300.0, 200.0, 290.0]], (n, 1)) + \
+            np.arange(n)[:, None] * 1.0
+        rel = np.tile([[0.0, 0.0, 10.0]], (n, 1))
+        return (np.asarray(ids, np.int64), px, rel)
+
+    eng.define_new_keyframe(obs_for(0, list(range(20))), run_opt=False)
+    eng.set_initial_kf_pose(np.array([0, 0, 0, 0, 0, 0.5]))
+    eng.define_new_keyframe(obs_for(1, list(range(8))), run_opt=True)
+    sel = eng._pending[-1]["lms"]
+    # the 8 kept landmark indices must be the doubly-observed ones
+    assert set(sel.tolist()) == set(range(8)), sel
+    eng.flush()
+
+    # escalation: fabricate a long-range edge inside the window and force
+    # truncation again — the warning must print unconditionally
+    eng2 = SRBAEngine(CAM, SRBAParams(
+        submap_size=2, max_optimize_depth=8, max_kfs=64,
+        min_obs_to_loop_closure=4,
+        win_cams=8, win_lms=8, win_obs=64, opt_iters=2), lazy=True)
+    # chain of KFs; KF 6 re-observes KF0's landmarks => long-range edge
+    eng2.define_new_keyframe(obs_for(0, list(range(12))), run_opt=False)
+    for k in range(1, 6):
+        eng2.set_initial_kf_pose(np.array([0, 0, 0, 0, 0, 0.5]))
+        eng2.define_new_keyframe(
+            obs_for(k, list(range(20 + k * 12, 32 + k * 12))), run_opt=False)
+    eng2.set_initial_kf_pose(np.array([0, 0, 0, 0, 0, 0.5]))
+    capsys.readouterr()
+    eng2.define_new_keyframe(obs_for(6, list(range(12))), run_opt=True)
+    span = np.abs(eng2.edge_u - eng2.edge_v)
+    assert (span > 2).any(), "scenario must create a long-range edge"
+    out = capsys.readouterr().out
+    assert "loop-closure edge in window" in out, out
+    eng2.flush()
