@@ -427,6 +427,7 @@ class SRBAStereoSLAMEstimator:
             robust_1to1=o.enable_robust_1to1_match,
             filter_fund_matrix=o.filter_fund_matrix,
             rect_maps=eng.rect_maps,
+            use_pallas=eng.use_pallas,
         )
         h_l, h_r = host if host is not None else (lefts, rights)
         (feats, track_idx, track_valid, poses, pose_valid, _n_inl,

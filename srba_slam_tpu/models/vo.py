@@ -65,11 +65,102 @@ def _avgpool2(img: jax.Array) -> jax.Array:
     return s * 0.25
 
 
+def default_use_pallas() -> bool:
+    """Fused Pallas detector+NMS kernel on real TPU; XLA formulation
+    elsewhere (CPU tests, interpret-unfriendly configs). Both produce
+    bit-identical score maps (tests/test_pallas_fast.py)."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _octave_budget(h0: int, w0: int, cell: int, k: int, n_levels: int):
+    """Feature-budget split across pyramid octaves, capped by each octave's
+    grid-cell count (lax.top_k over fewer cells than k would fail at trace
+    time); any deficit from capped deep octaves flows back to octave 0."""
+    cells = [((h0 >> lv) // cell) * ((w0 >> lv) // cell)
+             for lv in range(n_levels)]
+    k_levels = [min(k // n_levels, cells[lv]) for lv in range(n_levels)]
+    k_levels[0] = k - sum(k_levels[1:])
+    if k_levels[0] > cells[0]:
+        raise ValueError(
+            f"feature capacity k={k} exceeds octave-0 grid cells {cells[0]} "
+            f"(image {h0}x{w0}, cell {cell})"
+        )
+    return k_levels
+
+
+def _detect_describe_batch(imgs, fast_th, k, cell, nms_radius, margin,
+                           oriented, n_levels, use_pallas):
+    """Detect + describe for a whole batch of images at once.
+
+    ``imgs``: [N, H, W] float32. Returns (ys, xs, sc, valid, desc, octv),
+    each with leading dim N. Per-image math is identical to the per-frame
+    path (vmap of the same stages); batching exists so the image-wide VPU
+    stages (FAST/NMS/blur) run as one large op instead of N small ones —
+    through XLA that roughly halves their cost, and the fused Pallas kernel
+    (ops/pallas_fast.fast_nms_pallas) does detect+NMS in a single HBM pass.
+    """
+    n, h0, w0 = imgs.shape
+    k_levels = _octave_budget(h0, w0, cell, k, n_levels)
+    per = []
+    cur = imgs
+    for lvl in range(n_levels):
+        kl = k_levels[lvl]
+        if use_pallas and margin >= 3 + nms_radius:
+            from srba_slam_tpu.ops.pallas_fast import fast_nms_pallas
+
+            s = fast_nms_pallas(cur, fast_th, margin=margin,
+                                radius=nms_radius)
+        else:
+            s = jax.vmap(lambda im: local_max_suppress(
+                fast_score_map(im, fast_th, margin=margin),
+                radius=nms_radius))(cur)
+        ys, xs, sc, valid = jax.vmap(
+            functools.partial(grid_topk, cell=cell, k=kl))(s)
+        # stage barrier: without it XLA re-fuses the whole detector into
+        # the descriptor gathers / matcher broadcasts and recomputes it
+        # per element (50 ms and 400 s compiles observed; ~2 ms with)
+        ys, xs, sc, valid = jax.lax.optimization_barrier((ys, xs, sc, valid))
+        desc = jax.vmap(lambda im, y, x, v: describe(
+            im, y, x, v, oriented=oriented, patch_safe=margin >= 16)[0]
+        )(cur, ys, xs, valid)
+        octv = jnp.full((n, kl), lvl, jnp.int32)
+        per.append((ys << lvl, xs << lvl, sc, valid, desc, octv))
+        if lvl + 1 < n_levels:
+            cur = jax.vmap(_avgpool2)(cur)
+    return tuple(jnp.concatenate(parts, axis=1) for parts in zip(*per))
+
+
+def _build_frame(det_l, det_r, cam, orb_th, max_y_diff, min_disparity,
+                 max_disparity, robust_1to1) -> FrameFeatures:
+    """Stereo-match one detected pair and triangulate (single frame)."""
+    (ys_l, xs_l, sc_l, v_l, d_l, o_l) = det_l
+    (ys_r, xs_r, _sc_r, v_r, d_r, o_r) = det_r
+    m = stereo_match(
+        d_l, d_r, ys_l, xs_l, ys_r, xs_r, v_l, v_r,
+        max_y_diff=max_y_diff, orb_max_distance=orb_th,
+        min_disparity=min_disparity, max_disparity=max_disparity,
+        oct_l=o_l, oct_r=o_r, robust_1to1=robust_1to1,
+    )
+    xr = xs_r[m.idx].astype(jnp.float32)
+    pts = project_match_to_3d(
+        xs_l.astype(jnp.float32), ys_l.astype(jnp.float32), xr, cam
+    )
+    pts = jnp.where(m.valid[:, None], pts, 0.0)
+    return FrameFeatures(
+        ys_l=ys_l, xs_l=xs_l, score_l=sc_l, valid_l=v_l, desc_l=d_l,
+        ys_r=ys_r, xs_r=xs_r, valid_r=v_r, desc_r=d_r,
+        m_r_idx=m.idx, m_valid=m.valid, pts3d=pts, octave=o_l,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "cell", "nms_radius", "margin", "max_y_diff",
                      "min_disparity", "max_disparity", "oriented", "n_levels",
-                     "robust_1to1"),
+                     "robust_1to1", "use_pallas"),
 )
 def extract_and_match(
     left: jax.Array,
@@ -88,6 +179,7 @@ def extract_and_match(
     n_levels: int = 1,
     robust_1to1: bool = False,
     rect_maps=None,
+    use_pallas: bool = False,
 ) -> FrameFeatures:
     """Full frontend for one stereo pair; one compiled program.
 
@@ -110,57 +202,15 @@ def extract_and_match(
         left = remap_bilinear(left, rect_maps[0])
         right = remap_bilinear(right, rect_maps[1])
     imgs = jnp.stack([left, right])
-    # budget split across octaves, capped by each octave's grid-cell count
-    # (lax.top_k over fewer cells than k would fail at trace time); any
-    # deficit from capped deep octaves flows back to octave 0
-    h0, w0 = left.shape
-    cells = [((h0 >> lv) // cell) * ((w0 >> lv) // cell) for lv in range(n_levels)]
-    k_levels = [min(k // n_levels, cells[lv]) for lv in range(n_levels)]
-    k_levels[0] = k - sum(k_levels[1:])
-    if k_levels[0] > cells[0]:
-        raise ValueError(
-            f"feature capacity k={k} exceeds octave-0 grid cells {cells[0]} "
-            f"(image {h0}x{w0}, cell {cell})"
-        )
-
-    def frontend(img):
-        per = []
-        cur_img = img
-        for lvl in range(n_levels):
-            kl = k_levels[lvl]
-            s = fast_score_map(cur_img, fast_th, margin=margin)
-            s = local_max_suppress(s, radius=nms_radius)
-            ys, xs, sc, valid = grid_topk(s, cell=cell, k=kl)
-            # stage barrier: without it XLA re-fuses the whole detector into
-            # the descriptor gathers / matcher broadcasts and recomputes it
-            # per element (50 ms and 400 s compiles observed; ~2 ms with)
-            ys, xs, sc, valid = jax.lax.optimization_barrier((ys, xs, sc, valid))
-            desc, _ = describe(cur_img, ys, xs, valid, oriented=oriented,
-                               patch_safe=margin >= 16)
-            octv = jnp.full(kl, lvl, jnp.int32)
-            per.append((ys << lvl, xs << lvl, sc, valid, desc, octv))
-            if lvl + 1 < n_levels:
-                cur_img = _avgpool2(cur_img)
-        return tuple(jnp.concatenate(parts) for parts in zip(*per))
-
-    out = jax.vmap(frontend)(imgs)
-    (ys, xs, sc, valid, desc, octv) = jax.lax.optimization_barrier(out)
-    m = stereo_match(
-        desc[0], desc[1], ys[0], xs[0], ys[1], xs[1], valid[0], valid[1],
-        max_y_diff=max_y_diff, orb_max_distance=orb_th,
-        min_disparity=min_disparity, max_disparity=max_disparity,
-        oct_l=octv[0], oct_r=octv[1], robust_1to1=robust_1to1,
+    out = _detect_describe_batch(
+        imgs, fast_th, k=k, cell=cell, nms_radius=nms_radius, margin=margin,
+        oriented=oriented, n_levels=n_levels, use_pallas=use_pallas,
     )
-    xr = xs[1][m.idx].astype(jnp.float32)
-    pts = project_match_to_3d(
-        xs[0].astype(jnp.float32), ys[0].astype(jnp.float32), xr, cam
-    )
-    pts = jnp.where(m.valid[:, None], pts, 0.0)
-    return FrameFeatures(
-        ys_l=ys[0], xs_l=xs[0], score_l=sc[0], valid_l=valid[0], desc_l=desc[0],
-        ys_r=ys[1], xs_r=xs[1], valid_r=valid[1], desc_r=desc[1],
-        m_r_idx=m.idx, m_valid=m.valid, pts3d=pts, octave=octv[0],
-    )
+    out = jax.lax.optimization_barrier(out)
+    det_l = tuple(a[0] for a in out)
+    det_r = tuple(a[1] for a in out)
+    return _build_frame(det_l, det_r, cam, orb_th, max_y_diff,
+                        min_disparity, max_disparity, robust_1to1)
 
 
 class TrackSolveOut(NamedTuple):
@@ -174,7 +224,7 @@ class TrackSolveOut(NamedTuple):
     static_argnames=("k", "cell", "nms_radius", "margin", "max_y_diff",
                      "min_disparity", "max_disparity", "oriented", "n_levels",
                      "max_iters_initial", "max_iters", "robust_1to1",
-                     "filter_fund_matrix"),
+                     "filter_fund_matrix", "use_pallas"),
 )
 def vo_scan(
     lefts: jax.Array,         # f32 [B, H, W]
@@ -203,25 +253,52 @@ def vo_scan(
     robust_1to1: bool = False,
     filter_fund_matrix: bool = False,
     rect_maps=None,
+    use_pallas: bool = False,
 ):
-    """Whole-batch VO: lax.scan of (extract -> track -> solve) over B frames.
+    """Whole-batch VO in one device dispatch (the per-frame host round-trip
+    is the dominant cost through the tunneled runtime; see README design
+    rules).
 
-    ONE device dispatch processes B frames (the per-frame host round-trip is
-    the dominant cost through the tunneled runtime; see README design rules).
+    Two phases: (1) the frontend (rectify -> detect -> describe -> stereo
+    match -> triangulate) for ALL 2B images as one batched computation —
+    frames are independent there, so the image-wide VPU stages run wide
+    instead of serialized through a scan (measured ~2x on the scan's device
+    time at KITTI geometry); (2) a lax.scan of track_and_solve over the B
+    frames, which is genuinely sequential (each frame tracks against its
+    predecessor's features and warm-starts from its pose increment).
+
+    Per-frame math is identical to per-frame stepping; results match
+    bit-exactly (tests/test_batch_mode.py).
+
     Returns per-frame FrameFeatures (stacked) + tracking/pose outputs; the
     host applies keyframe logic afterwards from a single bulk transfer.
     """
+    b = lefts.shape[0]
+    imgs = jnp.concatenate([lefts, rights], axis=0).astype(jnp.float32)
+    if rect_maps is not None:
+        from srba_slam_tpu.ops.rectify import remap_bilinear
 
-    def step(carry, imgs):
+        maps = jax.tree.map(
+            lambda l_, r_: jnp.concatenate(
+                [jnp.broadcast_to(l_, (b,) + l_.shape),
+                 jnp.broadcast_to(r_, (b,) + r_.shape)], axis=0),
+            rect_maps[0], rect_maps[1])
+        imgs = jax.vmap(remap_bilinear)(imgs, maps)
+    det = _detect_describe_batch(
+        imgs, fast_th, k=k, cell=cell, nms_radius=nms_radius, margin=margin,
+        oriented=oriented, n_levels=n_levels, use_pallas=use_pallas,
+    )
+    det = jax.lax.optimization_barrier(det)
+    det_l = tuple(a[:b] for a in det)
+    det_r = tuple(a[b:] for a in det)
+    curs = jax.vmap(
+        lambda dl, dr: _build_frame(dl, dr, cam, orb_th, max_y_diff,
+                                    min_disparity, max_disparity, robust_1to1)
+    )(det_l, det_r)
+    curs = jax.lax.optimization_barrier(curs)
+
+    def step(carry, cur):
         prev_feat, last_inc = carry
-        left, right = imgs
-        cur = extract_and_match(
-            left, right, cam, fast_th, orb_th, k=k, cell=cell,
-            nms_radius=nms_radius, margin=margin, max_y_diff=max_y_diff,
-            min_disparity=min_disparity, max_disparity=max_disparity,
-            oriented=oriented, n_levels=n_levels, robust_1to1=robust_1to1,
-            rect_maps=rect_maps,
-        )
         out = track_and_solve(
             prev_feat, cur, cam, last_inc, orb_th,
             kernel_param=kernel_param,
@@ -234,13 +311,12 @@ def vo_scan(
             filter_fund_matrix=filter_fund_matrix,
         )
         next_inc = jnp.where(out.pose.valid, out.pose.pose, last_inc)
-        ys = (cur, out.track_idx, out.track_valid, out.pose.pose,
+        ys = (out.track_idx, out.track_valid, out.pose.pose,
               out.pose.valid, out.pose.num_inliers, out.pose.mean_residual)
         return (cur, next_inc), ys
 
-    (last_feat, last_inc), outs = jax.lax.scan(
-        step, (prev, init_pose), (lefts, rights)
-    )
+    (last_feat, last_inc), souts = jax.lax.scan(step, (prev, init_pose), curs)
+    outs = (curs,) + souts
     return last_feat, last_inc, outs
 
 
@@ -340,6 +416,7 @@ class StereoVOEngine:
         # inside the frontend program (set by the estimator when the config
         # declares unrectified input)
         self.rect_maps = None
+        self.use_pallas = default_use_pallas()
         if not self.opts.vo_use_matches_ids:
             # ≙ the stereo-vo GENERAL vo_use_matches_ids option: the SLAM
             # layer REQUIRES match-id bookkeeping (feature-ID propagation,
@@ -388,6 +465,7 @@ class StereoVOEngine:
             n_levels=self.opts.n_octaves,
             robust_1to1=self.opts.enable_robust_1to1_match,
             rect_maps=self.rect_maps,
+            use_pallas=self.use_pallas,
         )
         if self._prev is None:
             m_valid_h = np.asarray(cur.m_valid)

@@ -84,7 +84,7 @@ def fast_score_map_pallas(img: jax.Array, threshold: jax.Array,
         _make_kernel(tile_h),
         grid=(gh,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # full image stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # full image stays in HBM
             pl.BlockSpec(memory_space=pltpu.SMEM),  # threshold scalar
         ],
         out_specs=pl.BlockSpec((tile_h, wp), lambda i: (i, 0),
@@ -102,3 +102,131 @@ def fast_score_map_pallas(img: jax.Array, threshold: jax.Array,
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     inside = (ys >= margin) & (ys < h - margin) & (xs >= margin) & (xs < w - margin)
     return jnp.where(inside, score, 0.0)
+
+
+# --------------------------------------------------------------------------
+# Fused, batched FAST + 5x5 keyed NMS (the round-3 frontend hot path).
+#
+# The detector feeds nms.local_max_suppress immediately in every caller, and
+# both are memory-bound as separate XLA programs (the 16 shifted views alone
+# are ~29 MB of HBM intermediates per image).  This kernel produces the
+# SUPPRESSED score map for a whole batch of images in one read + one write
+# per pixel: grid (image, row-band), one VMEM band with an 8-row halo per
+# side, FAST arcs + margin mask + the row-major-keyed max-pool of
+# nms.local_max_suppress all computed in registers.  Bit-exact vs
+# ``local_max_suppress(fast_score_map(img, th, margin), radius)``:
+# FAST scores are exact integers (min/max of integer differences), and the
+# NMS tiebreak key ``score - eps*(y*W + x)`` is reproduced with the same f32
+# rounding (same eps, same global row-major index).
+# --------------------------------------------------------------------------
+
+
+def _window9_scalarlist(ds, combine):
+    """min/max over all 9-long circular windows; ds is a 16-list of arrays."""
+    w3 = [combine(combine(ds[i], ds[(i + 1) % 16]), ds[(i + 2) % 16])
+          for i in range(16)]
+    return [combine(combine(w3[i], w3[(i + 3) % 16]), w3[(i + 6) % 16])
+            for i in range(16)]
+
+
+def _make_fast_nms_kernel(tile_h: int, h: int, w: int, wp: int, margin: int,
+                          radius: int):
+    nr = radius
+    s_rows = tile_h + 2 * nr          # score rows computed (incl. NMS halo)
+
+    def kernel(img_hbm, th_ref, out_ref, band, sem):
+        n = pl.program_id(0)
+        i = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            img_hbm.at[n, pl.ds(i * tile_h, tile_h + 2 * _HALO), :], band, sem
+        )
+        copy.start()
+        copy.wait()
+        th = th_ref[0]
+
+        # FAST scores for rows [base-nr, base+tile_h+nr) where base=i*tile_h.
+        # Score row r needs image rows r-3..r+3 = band rows (r-base)+_HALO±3.
+        r0 = _HALO - nr               # band row of the first score row
+        center = band[r0:r0 + s_rows, :]
+        ds = []
+        for (dy, dx) in CIRCLE:
+            rows = band[r0 + dy:r0 + dy + s_rows, :]
+            shifted = pltpu.roll(rows, (-dx) % wp, 1) if dx else rows
+            ds.append(shifted - center)
+        min9 = _window9_scalarlist(ds, jnp.minimum)
+        max9 = _window9_scalarlist(ds, jnp.maximum)
+        bright = min9[0]
+        dark = max9[0]
+        for j in range(1, 16):
+            bright = jnp.maximum(bright, min9[j])
+            dark = jnp.minimum(dark, max9[j])
+        score = jnp.maximum(bright, -dark)
+        score = jnp.where(score > th, score, 0.0)
+
+        # margin mask BEFORE the pool (callers always suppress the masked map)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (s_rows, wp), 0) \
+            + i * tile_h - nr
+        xs = jax.lax.broadcasted_iota(jnp.int32, (s_rows, wp), 1)
+        inside = ((ys >= margin) & (ys < h - margin)
+                  & (xs >= margin) & (xs < w - margin))
+        score = jnp.where(inside, score, 0.0)
+
+        # keyed 5x5 max-pool (nms.local_max_suppress tiebreak, same f32 math)
+        eps = jnp.float32(1e-3 / (h * w))
+        keyed = score - eps * (ys * w + xs).astype(jnp.float32)
+        # x-window max via lane rolls, then y-window max via row slices
+        acc = keyed
+        for dx in range(1, nr + 1):
+            acc = jnp.maximum(acc, pltpu.roll(keyed, dx, 1))
+            acc = jnp.maximum(acc, pltpu.roll(keyed, (-dx) % wp, 1))
+        # output row t pools acc rows t+nr+dy, dy in [-nr, nr] (self included,
+        # exactly like reduce_window SAME in nms.local_max_suppress)
+        pooled = acc[0:tile_h, :]
+        for dy in range(-nr + 1, nr + 1):
+            pooled = jnp.maximum(pooled, acc[nr + dy:nr + dy + tile_h, :])
+        c_keyed = keyed[nr:nr + tile_h, :]
+        c_score = score[nr:nr + tile_h, :]
+        out_ref[0, :, :] = jnp.where((c_keyed >= pooled) & (c_score > 0.0),
+                                     c_score, 0.0)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("margin", "radius", "tile_h", "interpret"))
+def fast_nms_pallas(imgs: jax.Array, threshold: jax.Array, margin: int = 16,
+                    radius: int = 2, tile_h: int = 40,
+                    interpret: bool = False) -> jax.Array:
+    """Suppressed FAST score maps for a batch of images.
+
+    Drop-in for ``local_max_suppress(fast_score_map(img, th, margin), radius)``
+    applied per image of ``imgs`` [N, H, W] (any float/uint8 dtype; cast to
+    f32 on-chip).  Requires ``margin >= 3 + radius`` (every valid keypoint's
+    support then stays clear of the pad/wrap borders, which is what makes the
+    band formulation exact)."""
+    assert margin >= 3 + radius, "margin must cover circle + NMS halo"
+    imgs = imgs.astype(jnp.float32)
+    n, h, w = imgs.shape
+    gh = -(-h // tile_h)
+    pad = gh * tile_h - h
+    wp = -(-w // 128) * 128
+    imgs_p = jnp.pad(imgs, ((0, 0), (_HALO, _HALO + pad), (0, wp - w)))
+    th = jnp.reshape(jnp.asarray(threshold, jnp.float32), (1,))
+
+    out = pl.pallas_call(
+        _make_fast_nms_kernel(tile_h, h, w, wp, margin, radius),
+        grid=(n, gh),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, wp), lambda ni, i: (ni, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, gh * tile_h, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * _HALO, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(imgs_p, th)
+    return out[:, :h, :w]
