@@ -194,8 +194,19 @@ def main():
         jax.block_until_ready(chunks)
         jax.block_until_ready(est.vo.last_frame().desc_l)
         t0 = time.perf_counter()
-        for lefts, rights in chunks:
-            est._process_scan(est._dispatch_scan(lefts, rights))
+        # pipelined exactly like the real batched loop: batch n+1's scan is
+        # dispatched right after batch n's pull, so its device compute (and
+        # batch n's check/solve programs behind it in the device queue)
+        # overlaps batch n's host-side keyframe logic
+        disp = est._dispatch_scan(*chunks[0])
+        i = 0
+        while disp is not None:
+            nf = None
+            if i + 1 < len(chunks):
+                nf = (lambda cd, c=chunks[i + 1]:
+                      est._dispatch_scan(*c, chain=cd))
+            disp = est._process_scan(disp, nf)
+            i += 1
         est._finish_batched()
         est.rba.flush()
         jax.block_until_ready(est.vo.last_frame().desc_l)

@@ -344,16 +344,31 @@ class SRBAStereoSLAMEstimator:
         )
         nxt_chunk = take()
         nxt_dev = stage(nxt_chunk) if nxt_chunk is not None else None
-        n2_chunk = None
+        n2_box = [None, None]
         while disp is not None:
-            n2_chunk = take()  # stage n+2's upload before processing n
-            n2_dev = stage(n2_chunk) if n2_chunk is not None else None
+            # n+2's upload is staged from INSIDE _process_scan, immediately
+            # AFTER its blocking pull: the tunnel serializes host<->device
+            # operations in enqueue order, so an upload enqueued before the
+            # pull puts its whole transfer time (~240 ms for a 15-frame
+            # uint8 batch) in front of the pull's data — measured pulls
+            # dropped from 200-400 ms to the ~35 ms RTT floor with this
+            # ordering, while the link still has a full batch period to
+            # drain the upload before its scan needs it
+            n2_box[0] = n2_box[1] = None
+
+            def stage_fn():
+                c = take()
+                if c is not None:
+                    n2_box[0] = c
+                    n2_box[1] = stage(c)
 
             def next_fn(chain_disp, nd=nxt_dev, nc=nxt_chunk):
                 return self._dispatch_scan(*nd, chain=chain_disp, host=nc)
 
             nxt = self._process_scan(
-                disp, next_fn if nxt_chunk is not None else None)
+                disp, next_fn if nxt_chunk is not None else None,
+                stage_fn=stage_fn)
+            n2_chunk, n2_dev = n2_box
             disp = nxt
             n_spec_ins = sum(1 for c in self._spec if c["ins"])
             stop = False
@@ -438,7 +453,7 @@ class SRBAStereoSLAMEstimator:
                     b=lefts.shape[0], lefts=h_l, rights=h_r,
                     prev_feat=prev_feat, prev_inc=prev_inc)
 
-    def _process_scan(self, disp: dict, next_fn=None):
+    def _process_scan(self, disp: dict, next_fn=None, stage_fn=None):
         """Pull one dispatched batch and run the per-frame keyframe logic.
 
         ONE blocking transfer serves three purposes: this batch's VO
@@ -467,6 +482,12 @@ class SRBAStereoSLAMEstimator:
         spec = self._spec
         spec_handles = tuple(h for c in spec for h in c["handles"])
         pulled = jax.device_get(disp["pk"] + pend + spec_handles)
+        if stage_fn is not None:
+            # start the n+2 upload now — AFTER the blocking pull, so its
+            # transfer never queues in front of the pull's data (see
+            # perform_stereo_slam_batched); called exactly once per batch
+            # (the adaptive-retry recursion below passes stage_fn=None)
+            stage_fn()
         (track_idx, track_valid, m_valid, poses, pose_valid, mean_res,
          last_inc_h) = _unpack_scan_outs(pulled[0], pulled[1], b,
                                          self.capacity)

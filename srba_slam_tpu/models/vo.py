@@ -123,9 +123,20 @@ def _detect_describe_batch(imgs, fast_th, k, cell, nms_radius, margin,
         # the descriptor gathers / matcher broadcasts and recomputes it
         # per element (50 ms and 400 s compiles observed; ~2 ms with)
         ys, xs, sc, valid = jax.lax.optimization_barrier((ys, xs, sc, valid))
-        desc = jax.vmap(lambda im, y, x, v: describe(
-            im, y, x, v, oriented=oriented, patch_safe=margin >= 16)[0]
-        )(cur, ys, xs, valid)
+        if use_pallas and not oriented and margin >= 16:
+            # upright descriptors at fixed integer offsets: image-wide
+            # bit-planes in one Pallas band pass + tiny point gather,
+            # bit-identical to describe()'s block-gather fast path (the
+            # per-keypoint patch gather is ~85% of the XLA frontend's time)
+            from srba_slam_tpu.ops.orb import gauss_blur7
+            from srba_slam_tpu.ops.pallas_fast import orb_descriptors_pallas
+
+            blurred = jax.vmap(gauss_blur7)(cur)
+            desc = orb_descriptors_pallas(blurred, ys, xs, valid, tile_h=24)
+        else:
+            desc = jax.vmap(lambda im, y, x, v: describe(
+                im, y, x, v, oriented=oriented, patch_safe=margin >= 16)[0]
+            )(cur, ys, xs, valid)
         octv = jnp.full((n, kl), lvl, jnp.int32)
         per.append((ys << lvl, xs << lvl, sc, valid, desc, octv))
         if lvl + 1 < n_levels:

@@ -230,3 +230,109 @@ def fast_nms_pallas(imgs: jax.Array, threshold: jax.Array, margin: int = 16,
         interpret=interpret,
     )(imgs_p, th)
     return out[:, :h, :w]
+
+
+# --------------------------------------------------------------------------
+# Image-wide upright ORB descriptor bit-planes.
+#
+# The per-keypoint formulation (ops/orb.py describe fast path) block-gathers
+# one 33x33 patch per keypoint — 512 vmapped dynamic_slices per image, and
+# that gather is ~85% of the whole frontend's device time on this TPU.  For
+# UPRIGHT descriptors every one of the 256 (p, q) test pairs samples at a
+# FIXED integer offset, so the TPU-native formulation is image-wide: compute
+# bit_i(y, x) = blur(y+dy_p, x+dx_p) < blur(y+dy_q, x+dx_q) for every pixel
+# as 256 shifted-view vector compares inside one row-band pass, pack them
+# into 8 uint32 planes in registers, and let the caller point-gather K*8
+# words at the keypoints (tiny).  Comparisons are on the same rounded-int
+# f32 blur values as the patch path, so descriptors are bit-identical at
+# every keypoint with full in-image support (margin >= 16; detector
+# guarantees it).  Pixels closer than 16 px to a border see lane-wrap /
+# zero-pad garbage and must not be gathered (same contract as patch_safe).
+# --------------------------------------------------------------------------
+
+_ORB_HALO = 16  # covers max |dy| of the pattern (13), rounded to 8-multiple
+
+
+def _make_orb_kernel(tile_h: int, wp: int, pairs):
+    def kernel(img_hbm, out_ref, band, sem):
+        n = pl.program_id(0)
+        i = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            img_hbm.at[n, pl.ds(i * tile_h, tile_h + 2 * _ORB_HALO), :],
+            band, sem,
+        )
+        copy.start()
+        copy.wait()
+
+        def view(dy, dx):
+            rows = band[_ORB_HALO + dy:_ORB_HALO + dy + tile_h, :]
+            return pltpu.roll(rows, (-dx) % wp, 1) if dx else rows
+
+        for j in range(8):
+            acc = None
+            for b in range(32):
+                (dy1, dx1, dy2, dx2) = pairs[32 * j + b]
+                cmp = view(dy1, dx1) < view(dy2, dx2)
+                word = jnp.where(cmp, jnp.uint32(1 << b), jnp.uint32(0))
+                acc = word if acc is None else acc | word
+            out_ref[0, j, :, :] = acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
+def orb_bitplanes_pallas(blurred: jax.Array, tile_h: int = 40,
+                         interpret: bool = False) -> jax.Array:
+    """Packed upright-ORB bit-planes for a batch of BLURRED images.
+
+    ``blurred``: [N, H, W] f32, already gauss_blur7-rounded (ops/orb.py).
+    Returns uint32 [N, 8, HP, WP] with HP/WP the tile-padded dims; plane
+    ``j`` holds descriptor bits 32j..32j+31 in the ops/bits.py little-endian
+    order. Valid only at pixels >= 16 px inside the true image borders."""
+    from srba_slam_tpu.ops.orb import _PATTERN_OPENCV
+
+    import numpy as np
+
+    pat = np.rint(_PATTERN_OPENCV).astype(np.int32)  # [256, 2, (dy,dx)]
+    pairs = [(int(p[0, 0]), int(p[0, 1]), int(p[1, 0]), int(p[1, 1]))
+             for p in pat]
+
+    blurred = blurred.astype(jnp.float32)
+    n, h, w = blurred.shape
+    gh = -(-h // tile_h)
+    pad = gh * tile_h - h
+    wp = -(-w // 128) * 128
+    imgs_p = jnp.pad(blurred,
+                     ((0, 0), (_ORB_HALO, _ORB_HALO + pad), (0, wp - w)))
+
+    return pl.pallas_call(
+        _make_orb_kernel(tile_h, wp, pairs),
+        grid=(n, gh),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, 8, tile_h, wp), lambda ni, i: (ni, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 8, gh * tile_h, wp), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * _ORB_HALO, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(imgs_p)
+
+
+def orb_descriptors_pallas(blurred: jax.Array, ys: jax.Array, xs: jax.Array,
+                           valid: jax.Array, tile_h: int = 40,
+                           interpret: bool = False) -> jax.Array:
+    """Upright ORB descriptors via image-wide bit-planes + point gather.
+
+    Drop-in for the batched ``describe(..., oriented=False, patch_safe=True)``
+    fast path (bit-identical; tests/test_pallas_fast.py): ``blurred``
+    [N, H, W] f32 gauss_blur7 output, ``ys``/``xs`` [N, K] int32 keypoints
+    with margin >= 16, ``valid`` [N, K] bool. Returns uint32 [N, K, 8]."""
+    planes = orb_bitplanes_pallas(blurred, tile_h=tile_h, interpret=interpret)
+    n, _, hp, wp = planes.shape
+    flat = planes.reshape(n, 8, hp * wp)
+    idx = jnp.clip(ys, 0, hp - 1) * wp + jnp.clip(xs, 0, wp - 1)  # [N, K]
+    d = jax.vmap(lambda f, i: f[:, i])(flat, idx)                 # [N, 8, K]
+    return jnp.where(valid[..., None], jnp.transpose(d, (0, 2, 1)),
+                     jnp.uint32(0))

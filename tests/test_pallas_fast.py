@@ -47,3 +47,23 @@ def test_fused_fast_nms_kitti_geometry(rng):
         fast_score_map(im, 20.0, margin=16), radius=2))(imgs)
     got = fast_nms_pallas(imgs, 20.0, margin=16, interpret=True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_orb_bitplanes_matches_describe(rng):
+    """Image-wide bit-plane descriptors are bit-identical to the per-keypoint
+    block-gather fast path at every margin-safe keypoint."""
+    from srba_slam_tpu.ops.orb import describe, gauss_blur7
+    from srba_slam_tpu.ops.pallas_fast import orb_descriptors_pallas
+
+    n, h, w, k = 2, 123, 300, 64
+    imgs = jnp.asarray(rng.integers(0, 255, (n, h, w)).astype(np.float32))
+    ys = jnp.asarray(rng.integers(16, h - 16, (n, k)).astype(np.int32))
+    xs = jnp.asarray(rng.integers(16, w - 16, (n, k)).astype(np.int32))
+    valid = jnp.asarray(rng.random((n, k)) < 0.9)
+
+    ref = jax.vmap(lambda im, y, x, v: describe(
+        im, y, x, v, oriented=False, patch_safe=True)[0])(imgs, ys, xs, valid)
+    blurred = jax.vmap(gauss_blur7)(imgs)
+    got = orb_descriptors_pallas(blurred, ys, xs, valid, tile_h=32,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
