@@ -171,9 +171,21 @@ def bow_vector(desc_packed: jax.Array, valid: jax.Array,
     )  # [K, W]
     pw = jnp.sum(lb.astype(jnp.float32), axis=-1)  # [W]
     dist = pw[None, :] - 2.0 * dot  # per-row constant pop(d) dropped (argmin-safe)
-    word = jnp.argmin(dist, axis=-1)  # [K]
+    # argmin via two plain f32 reduces (a variadic value+index argmin reduce
+    # is ~1000x slower on this backend — README pitfall 4): find the row
+    # minimum, then the FIRST index attaining it (same tie rule as argmin)
+    # as max over match * (W - idx). All quantities are exact in f32.
+    w_pad = dist.shape[1]
+    m = jnp.min(dist, axis=-1, keepdims=True)          # [K, 1]
+    idx = jax.lax.broadcasted_iota(jnp.float32, dist.shape, 1)
+    first = jnp.max(jnp.where(dist <= m, w_pad - idx, 0.0), axis=-1)
+    word = (w_pad - first).astype(jnp.int32)           # [K]
     contrib = jnp.where(valid, weights[word], 0.0)
-    v = jnp.zeros(weights.shape, jnp.float32).at[word].add(contrib)
+    # scatter-free histogram: one-hot mask * contribution, reduced over K
+    # (scatter-add serializes on TPU; this is two fused elementwise passes)
+    onehot = word[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (word.shape[0], w_pad), 1)
+    v = jnp.sum(jnp.where(onehot, contrib[:, None], 0.0), axis=0)
     n = jnp.sum(v)
     return v / jnp.maximum(n, 1e-12)
 

@@ -400,11 +400,15 @@ def fused_check_write(
 
 
 def pack_check_outputs(top_s, top_i, da: DAResult, frame) -> tuple:
-    """Pack a check's 11 output arrays into TWO device blobs (one int32,
-    one f32). The tunneled runtime pays a per-ARRAY overhead (~1.5-2 ms) on
-    every pulled buffer — a batch's pull used to fetch ~80 small arrays and
-    spend >100 ms on that alone. Host side: unpack_check_outputs."""
-    ints = jnp.concatenate([
+    """Pack a check's 11 output arrays into ONE device blob (int32). The
+    tunneled runtime pays a per-ARRAY overhead (~1.5-2 ms) on every pulled
+    buffer, and bulk pulls of >8 arrays cost extra round trips — a batch's
+    pull used to fetch ~80 small arrays and spend >100 ms on that alone.
+    Float outputs ride along bitcast to int32 (f32 -> i32 is bijective and
+    integer transfer is exact — no NaN-canonicalization hazard). Host side:
+    unpack_check_outputs."""
+    floats = jnp.concatenate([top_s, frame.pts3d.ravel()])
+    blob = jnp.concatenate([
         top_i.astype(jnp.int32),                 # [nq]
         da.status.astype(jnp.int32).ravel(),     # [S*K]
         da.other_idx.ravel(),                    # [S*K]
@@ -412,9 +416,9 @@ def pack_check_outputs(top_s, top_i, da: DAResult, frame) -> tuple:
         frame.m_valid.astype(jnp.int32),         # [K]
         frame.xs_l, frame.ys_l, frame.xs_r,      # 3x [K]
         frame.m_r_idx,                           # [K]
+        jax.lax.bitcast_convert_type(floats, jnp.int32),
     ])
-    floats = jnp.concatenate([top_s, frame.pts3d.ravel()])
-    return ints, floats
+    return (blob,)
 
 
 @functools.partial(
@@ -444,22 +448,23 @@ def query_and_associate_packed(
     return pack_check_outputs(top_s, top_i, da, cur)
 
 
-def unpack_check_outputs(ints, floats, s: int, k: int, nq: int) -> tuple:
-    """Inverse of pack_check_outputs on HOST numpy arrays; returns the
+def unpack_check_outputs(blob, s: int, k: int, nq: int) -> tuple:
+    """Inverse of pack_check_outputs on the HOST numpy blob; returns the
     11-tuple (scores, ids, status, other_idx, tracked, m_valid, xs_l, ys_l,
     xs_r, m_r_idx, pts3d) the estimator's decision logic consumes."""
     import numpy as np
 
     o = 0
-    top_i = ints[o:o + nq]; o += nq
-    status = ints[o:o + s * k].reshape(s, k).astype(np.int8); o += s * k
-    other_idx = ints[o:o + s * k].reshape(s, k); o += s * k
-    tracked = ints[o:o + s]; o += s
-    m_valid = ints[o:o + k].astype(bool); o += k
-    xs_l = ints[o:o + k]; o += k
-    ys_l = ints[o:o + k]; o += k
-    xs_r = ints[o:o + k]; o += k
-    m_r_idx = ints[o:o + k]
+    top_i = blob[o:o + nq]; o += nq
+    status = blob[o:o + s * k].reshape(s, k).astype(np.int8); o += s * k
+    other_idx = blob[o:o + s * k].reshape(s, k); o += s * k
+    tracked = blob[o:o + s]; o += s
+    m_valid = blob[o:o + k].astype(bool); o += k
+    xs_l = blob[o:o + k]; o += k
+    ys_l = blob[o:o + k]; o += k
+    xs_r = blob[o:o + k]; o += k
+    m_r_idx = blob[o:o + k]; o += k
+    floats = np.ascontiguousarray(blob[o:]).view(np.float32)
     top_s = floats[:nq]
     pts3d = floats[nq:nq + 3 * k].reshape(k, 3)
     return (top_s, top_i, status, other_idx, tracked, m_valid, xs_l, ys_l,

@@ -672,7 +672,7 @@ class SRBAStereoSLAMEstimator:
     # the true outcome, and replays the batch tail with synchronous checks —
     # results stay identical to per-frame stepping either way.
 
-    _N_CHECK_HANDLES = 2  # (int32 blob, f32 blob) per check — see
+    _N_CHECK_HANDLES = 1  # one int32 blob per check (floats bitcast) — see
     # data_association.pack_check_outputs (per-array pull overhead)
 
     def _defer_check(self, res: StepResult, force_new_kf: bool,
@@ -1044,7 +1044,7 @@ class SRBAStereoSLAMEstimator:
         if n_kfs is None:
             n_kfs = self.store.n_kfs
         with self.profiler.section("queryDB"):
-            ints, floats = query_and_associate_packed(
+            handles = query_and_associate_packed(
                 frame, self.store.arrays, self.bow._db,
                 self.bow._leaf_bits, self.bow._weights,
                 jnp.int32(n_kfs), self.cam, sub,
@@ -1057,7 +1057,7 @@ class SRBAStereoSLAMEstimator:
                 kernel_param=self.vo_opts.kernel_param,
                 ransac_n_hyp=self._ransac_n_hyp,
             )
-        return (ints, floats)
+        return handles
 
     def _kf_check_host(self, pulled: tuple, frame, res: StepResult,
                        force_new_kf: bool):
@@ -1086,13 +1086,13 @@ class SRBAStereoSLAMEstimator:
         (query_log, debug dumps, res.best_tracked); threshold side effects
         are returned in the dict and applied by the caller — so the decision
         can be replayed exactly when a speculative check resolves late."""
-        if len(pulled) == 2:  # blob-packed (the only dispatch format now)
+        if len(pulled) == 1:  # blob-packed (the only dispatch format now)
             from srba_slam_tpu.models.data_association import (
                 unpack_check_outputs,
             )
 
             pulled = unpack_check_outputs(
-                pulled[0], pulled[1], s=MAX_SIMILAR, k=self.capacity, nq=4)
+                pulled[0], s=MAX_SIMILAR, k=self.capacity, nq=4)
         (scores, ids, da_status_all, da_oidx_all, tracked_all, f_m_valid,
          f_xs_l, f_ys_l, f_xs_r, f_m_r, f_pts) = pulled
         self.query_log.append((res.frame_idx, np.asarray(scores).copy(),
@@ -1221,7 +1221,37 @@ class SRBAStereoSLAMEstimator:
         res.inserted_kf = kf_id
         res.define_kf_ms = dt
         self.kf_stats.append(TStatsSRBA(dt, self.store.n_kfs, n_new, n_common))
+        if self.general.show3D:
+            self._live_viz_snapshot()
         return ids
+
+    def _live_viz_snapshot(self):
+        """Per-keyframe map snapshot (headless stand-in for the reference's
+        LIVE CDisplayWindow3D updates, .cpp:1262-1338): overwrite
+        ``<out_dir>/live_map.png`` with the current trajectory + the latest
+        BoW query bars after every insertion, so a long run can be watched
+        mid-flight. finalize() still renders the final optimized map."""
+        out_dir = self.general.out_dir or "out"
+        try:
+            from srba_slam_tpu.utils.viz import render_map_png
+
+            os.makedirs(out_dir, exist_ok=True)
+            n = self.store.n_kfs
+            q_scores = None
+            if self.query_log:
+                _f, sc, qids = self.query_log[-1]
+                q_scores = np.zeros(n)
+                for s_, i_ in zip(sc, qids):
+                    if 0 <= int(i_) < n:
+                        q_scores[int(i_)] = s_
+            # raw camera-frame poses mid-run: plot the x-z ground plane
+            render_map_png(
+                os.path.join(out_dir, "live_map.png"),
+                self.rba.kf_global[:n], query_scores=q_scores,
+                query_score_th=self.opts.query_score_th, plane=(0, 2),
+            )
+        except Exception as exc:  # viz must never kill the pipeline
+            self.log(1, f"live viz snapshot failed: {exc!r}")
 
     @property
     def current_world_pose(self) -> np.ndarray:
