@@ -39,6 +39,7 @@ from srba_slam_tpu.models.vo import StereoVOEngine
 from srba_slam_tpu.ops.posegraph import optimize_pose_graph
 from srba_slam_tpu.utils import se3_np
 from srba_slam_tpu.utils.profiler import Profiler
+from srba_slam_tpu.utils.pull import bulk_pull
 from srba_slam_tpu.utils.thresholds import (
     update_rotation_threshold, update_translation_threshold,
 )
@@ -481,7 +482,7 @@ class SRBAStereoSLAMEstimator:
         pend = self.rba.pending_device_arrays()
         spec = self._spec
         spec_handles = tuple(h for c in spec for h in c["handles"])
-        pulled = jax.device_get(disp["pk"] + pend + spec_handles)
+        pulled = bulk_pull(disp["pk"] + pend + spec_handles)
         if stage_fn is not None:
             # start the n+2 upload now — AFTER the blocking pull, so its
             # transfer never queues in front of the pull's data (see
@@ -835,7 +836,7 @@ class SRBAStereoSLAMEstimator:
             return
         pend = self.rba.pending_device_arrays()
         spec_handles = tuple(h for c in self._spec for h in c["handles"])
-        pulled = jax.device_get(pend + spec_handles)
+        pulled = bulk_pull(pend + spec_handles)
         if pend:
             self.rba.commit_pending(pulled[:len(pend)])
         self._resolve_spec(pulled[len(pend):])
@@ -1019,7 +1020,7 @@ class SRBAStereoSLAMEstimator:
         handles = self._kf_check_dispatch(frame)
         with self.profiler.section("performDA"):
             pend = self.rba.pending_device_arrays()
-            pulled = jax.device_get(handles + pend)
+            pulled = bulk_pull(handles + pend)
             if pend:
                 self.rba.commit_pending(pulled[len(handles):])
             self._reanchor_if_dirty()

@@ -44,6 +44,7 @@ from srba_slam_tpu.ops.window_ba import (BAWindow, optimize_window,
     optimize_window_packed, pack_window)
 from srba_slam_tpu.utils import se3_np
 from srba_slam_tpu.utils.camera import StereoCamera
+from srba_slam_tpu.utils.pull import bulk_pull
 
 
 @dataclass
@@ -642,7 +643,7 @@ class SRBAEngine:
             return
         nh = self._N_PENDING_HANDLES
         if host_vals is None:
-            host_vals = jax.device_get(tuple(p["blob"] for p in q))
+            host_vals = bulk_pull(tuple(p["blob"] for p in q))
         assert len(host_vals) == nh * len(q)
         for i, p in enumerate(q):
             self._commit_one(p, host_vals[nh * i: nh * (i + 1)])

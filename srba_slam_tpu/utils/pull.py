@@ -1,0 +1,54 @@
+"""Single-transfer bulk pulls for tunneled runtimes.
+
+The tunneled TPU backend pays a per-ARRAY overhead on every pulled buffer
+(measured ~10-15 ms marginal per array inside one ``jax.device_get`` of a
+tuple, on top of the ~31 ms blocking round-trip floor — see CLAUDE.md's
+latency model).  Packing the batch's heterogeneous pull set (scan outputs +
+queued window-solve blobs + deferred-check blobs) into ONE device-side
+int32 concatenation turns an N-array transfer into a single round trip:
+the concat itself is a cheap async dispatch (~0.3 ms) and device compute
+is nearly free.
+
+Float arrays ride along bitcast to int32 (f32 <-> i32 is bijective, and an
+integer transfer is exact — no NaN-canonicalization hazard on the host
+side); the host views the bits back as float32.  This keeps batched-mode
+results bit-identical to individually pulled arrays.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_I32 = np.dtype(np.int32)
+_F32 = np.dtype(np.float32)
+
+
+def bulk_pull(handles) -> tuple:
+    """``jax.device_get`` a sequence of int32/float32 device arrays as ONE
+    transfer.  Returns a tuple of numpy arrays in input order, bit-exact vs
+    pulling each individually."""
+    handles = tuple(handles)
+    if not handles:
+        return ()
+    if len(handles) == 1:
+        return (np.asarray(jax.device_get(handles[0])),)
+    parts = []
+    for h in handles:
+        flat = h if (getattr(h, "ndim", None) == 1) else jnp.ravel(h)
+        if h.dtype == _F32:
+            flat = jax.lax.bitcast_convert_type(flat, jnp.int32)
+        elif h.dtype != _I32:
+            raise TypeError(f"bulk_pull supports int32/float32, got {h.dtype}")
+        parts.append(flat)
+    big = np.asarray(jax.device_get(jnp.concatenate(parts)))
+    out, o = [], 0
+    for h in handles:
+        n = int(np.prod(h.shape)) if h.ndim else 1
+        v = big[o:o + n]
+        o += n
+        if h.dtype == _F32:
+            v = v.view(np.float32)
+        out.append(v.reshape(h.shape))
+    return tuple(out)
