@@ -159,3 +159,41 @@ def test_solve_sync_strict_pose_equivalence():
     n = est_a.store.n_kfs
     np.testing.assert_allclose(
         est_a.rba.kf_global[:n], est_b.rba.kf_global[:n], atol=1e-3)
+
+
+def test_batched_single_transfer_per_batch(monkeypatch):
+    """The batched loop's latency contract on tunneled runtimes: ONE
+    blocking device->host transfer per processed batch (scan outputs +
+    queued window solves + deferred checks all ride the same bulk_pull),
+    plus at most the final resolve/flush pair. Speculation-miss replays
+    legitimately add synchronous per-check pulls, so this workload/seed is
+    chosen to replay-free (asserted via the exactness invariants)."""
+    import srba_slam_tpu.models.estimator as E
+    import srba_slam_tpu.models.srba as S
+
+    cam = small_cam()
+    frames = list(SyntheticSource(cam, n_frames=25, seed=11, step=0.12))
+
+    calls = []
+    orig = E.bulk_pull
+
+    def counting(handles):
+        handles = tuple(handles)
+        calls.append(len(handles))
+        return orig(handles)
+
+    monkeypatch.setattr(E, "bulk_pull", counting)
+    monkeypatch.setattr(S, "bulk_pull", counting)
+
+    est = make_estimator()
+    est.perform_stereo_slam_batched(frames, batch=6)
+    n_batches = -(-24 // 6)  # first frame bootstraps outside the scan
+    loop_calls = len(calls)
+    est.rba.flush()
+    est._finish_batched()
+    total = len(calls)
+    # one transfer per batch while looping (misses would add per-check
+    # pulls through _kf_check; this seed has none)
+    assert loop_calls <= n_batches + 1, calls
+    # epilogue: at most one resolve + one flush transfer
+    assert total <= loop_calls + 2, calls
