@@ -361,23 +361,42 @@ def fused_check_write(
     Returns (handles, new_store_arrays, new_db) where handles is the exact
     11-tuple the estimator's ``_kf_decide`` consumes.
     """
+    blob, new_arrays, new_db = _check_one_slot(
+        feats, store_arrays, db, leaf_bits, weights, j, n_kfs,
+        jnp.asarray(True), cam, key, n_query, max_orb_distance_da,
+        residual_th, max_y_diff_epipolar, filter_by_direction,
+        use_fund_matrix, use_change_pose, kernel_param, ransac_n_hyp)
+    return (blob,), new_arrays, new_db
+
+
+def _check_one_slot(feats, store_arrays, db, leaf_bits, weights, j, row,
+                    valid, cam, key, n_query, max_orb_distance_da,
+                    residual_th, max_y_diff_epipolar, filter_by_direction,
+                    use_fund_matrix, use_change_pose, kernel_param,
+                    ransac_n_hyp):
+    """One deferred check: masked speculative row write + BoW query + DA
+    cascade + output packing. ``valid=False`` makes the store/DB writes an
+    identity (the slot's results are computed anyway and ignored) — the
+    padding contract of :func:`fused_checks_batch`."""
     from srba_slam_tpu.models.bow import bow_vector
 
     frame = jax.tree.map(lambda a: a[j], feats)
     row_vals = (frame.ys_l, frame.xs_l, frame.valid_l, frame.desc_l,
                 frame.ys_r, frame.xs_r, frame.valid_r, frame.desc_r,
                 frame.m_r_idx, frame.m_valid, frame.pts3d, frame.octave)
-    new_arrays = KFArrays(*(arr.at[n_kfs].set(val)
+    new_arrays = KFArrays(*(arr.at[row].set(jnp.where(valid, val, arr[row]))
                             for arr, val in zip(store_arrays, row_vals)))
     v = bow_vector(frame.desc_l, frame.m_valid, leaf_bits, weights)
-    new_db = jax.lax.dynamic_update_slice(db, v[None, :], (n_kfs, 0))
+    v_write = jnp.where(valid, v, jax.lax.dynamic_slice(
+        db, (row, 0), (1, db.shape[1]))[0])
+    new_db = jax.lax.dynamic_update_slice(db, v_write[None, :], (row, 0))
 
     scores_all = jnp.sum(jnp.minimum(new_db, v[None, :]), axis=-1)
     rows = jnp.arange(new_db.shape[0])
-    scores_all = jnp.where(rows < n_kfs, scores_all, -1.0)
+    scores_all = jnp.where(rows < row, scores_all, -1.0)
     top_s, top_i = jax.lax.top_k(scores_all, n_query)
 
-    prev_kf = n_kfs - 1
+    prev_kf = row - 1
     cand = jnp.concatenate([prev_kf[None], top_i.astype(jnp.int32)])
     cand_valid = jnp.concatenate([
         jnp.asarray([True]),
@@ -395,8 +414,84 @@ def fused_check_write(
         kernel_param=kernel_param,
         ransac_n_hyp=ransac_n_hyp,
     )
-    handles = pack_check_outputs(top_s, top_i, da, frame)
-    return handles, new_arrays, new_db
+    (blob,) = pack_check_outputs(top_s, top_i, da, frame)
+    return blob, new_arrays, new_db
+
+
+CHECK_SLOTS = 8  # fixed slot count: ONE compiled program regardless of how
+# many checks a batch queues (padded slots are masked no-ops); a variable
+# slot count would queue a fresh multi-minute remote compile per new count
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("filter_by_direction", "use_fund_matrix",
+                     "use_change_pose", "n_query", "ransac_n_hyp"),
+    donate_argnums=(1, 2),
+)
+def fused_checks_batch(
+    feats,                       # FrameFeatures batch [B, ...] (vo_scan output)
+    store_arrays: KFArrays,      # donated
+    db: jax.Array,               # BoW database [MAX_KFS, W] (donated)
+    leaf_bits: jax.Array,
+    weights: jax.Array,
+    js: jax.Array,               # int32 [CHECK_SLOTS] frame index per slot
+    rows: jax.Array,             # int32 [CHECK_SLOTS] speculative row per slot
+    valids: jax.Array,           # bool  [CHECK_SLOTS]
+    cam: StereoCamera,
+    keys: jax.Array,             # [CHECK_SLOTS, ...] PRNG key per slot
+    n_query: int = 4,
+    max_orb_distance_da: float = 60.0,
+    residual_th: float = 30.0,
+    max_y_diff_epipolar: float = 2.0,
+    filter_by_direction: bool = True,
+    use_fund_matrix: bool = True,
+    use_change_pose: bool = True,
+    kernel_param: float = 2.0,
+    ransac_n_hyp: int = 128,
+):
+    """ALL of a batch's deferred keyframe checks in ONE dispatch.
+
+    A 15-frame batch typically queues ~5 checks; dispatching
+    :func:`fused_check_write` per check paid the tunneled runtime's ~5 ms
+    per-jitted-call RPC overhead each time. This runs the checks as a
+    ``lax.scan`` over ``CHECK_SLOTS`` padded slots, threading the
+    keyframe-store/BoW-DB speculative writes through the carry (identical
+    chaining semantics to sequential per-check dispatches — later checks
+    see earlier checks' speculative rows). Invalid slots compute-and-
+    discard: their writes are masked to an identity (device compute is
+    nearly free on this backend; a per-count program would queue a fresh
+    remote compile for every distinct check count).
+
+    Returns (blobs, new_store_arrays, new_db) where ``blobs`` is a tuple of
+    CHECK_SLOTS per-slot output blobs (same layout as
+    :func:`pack_check_outputs`)."""
+    def body(carry, xs):
+        arrays, db_ = carry
+        j, row, valid, key = xs
+
+        def run(_):
+            # valid=True: inside the taken branch the write is unconditional
+            return _check_one_slot(
+                feats, arrays, db_, leaf_bits, weights, j, row,
+                jnp.asarray(True), cam, key, n_query, max_orb_distance_da,
+                residual_th, max_y_diff_epipolar, filter_by_direction,
+                use_fund_matrix, use_change_pose, kernel_param, ransac_n_hyp)
+
+        blob_len = jax.eval_shape(run, None)[0].shape[0]
+
+        def skip(_):
+            # a padded slot must cost ~nothing: the cascade is ~10 ms of
+            # device compute per slot, so masking writes alone (compute-and-
+            # discard) would more than double a 3-check batch's device time
+            return jnp.zeros(blob_len, jnp.int32), arrays, db_
+
+        blob, arrays, db_ = jax.lax.cond(valid, run, skip, None)
+        return (arrays, db_), blob
+
+    (new_arrays, new_db), blobs = jax.lax.scan(
+        body, (store_arrays, db), (js, rows, valids, keys))
+    return tuple(blobs), new_arrays, new_db
 
 
 def pack_check_outputs(top_s, top_i, da: DAResult, frame) -> tuple:

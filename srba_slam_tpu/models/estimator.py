@@ -224,6 +224,9 @@ class SRBAStereoSLAMEstimator:
         # track backpointers to the latest (possibly speculative) keyframe,
         # and the dirty flag for lazy pose re-anchoring
         self._spec: list[dict] = []
+        # deferred checks planned during the current batch walk but not yet
+        # dispatched — fused_checks_batch runs them all in ONE jitted call
+        self._check_plan: list[dict] = []
         self._bp: np.ndarray | None = None
         self._ref_ids: np.ndarray | None = None
         self._last_m_valid = None
@@ -479,6 +482,8 @@ class SRBAStereoSLAMEstimator:
         eng = self.vo
         last_feat, last_inc = disp["last_feat"], disp["last_inc"]
         feats = disp["outs"][0]
+        self._dispatch_planned_checks()  # no-op unless a retry/guard path
+        # left undispatched plans behind
         pend = self.rba.pending_device_arrays()
         spec = self._spec
         spec_handles = tuple(h for c in spec for h in c["handles"])
@@ -563,6 +568,9 @@ class SRBAStereoSLAMEstimator:
         nxt = next_fn(disp) if next_fn is not None else None
 
         self._process_frames(batch_rec, 0, b)
+        # launch the batch's deferred checks now (ONE fused call) so the
+        # device works on them while the host stages the next batch
+        self._dispatch_planned_checks()
 
         # sync the VO engine's feature state to the end of the batch (global
         # ids are materialized lazily once the deferred checks resolve —
@@ -698,36 +706,22 @@ class SRBAStereoSLAMEstimator:
         )
         n_pending_ins = sum(1 for x in self._spec if x["ins"])
         spec_row = self.store.n_kfs + n_pending_ins
-        # ONE fused dispatch: frame slice + speculative store/BoW row write
-        # (always — rows beyond the committed counters are inert either
-        # way) + BoW query + DA cascade. Unfused this was 4 jitted calls
-        # per check at ~5 ms of tunnel RPC overhead each.
-        from srba_slam_tpu.models.data_association import fused_check_write
-
-        m = self.opts.da_stage2_method
+        # The check itself (frame slice + speculative store/BoW row write +
+        # BoW query + DA cascade) is only PLANNED here; all of a batch's
+        # planned checks dispatch together in ONE fused_checks_batch call
+        # (_dispatch_planned_checks) — per-check dispatches paid the
+        # tunneled runtime's ~5 ms per-jitted-call RPC overhead each.
         self._da_key, sub = jax.random.split(self._da_key)
-        with self.profiler.section("queryDB"):
-            handles, new_arrays, new_db = fused_check_write(
-                batch_rec["feats"], self.store.arrays, self.bow._db,
-                self.bow._leaf_bits, self.bow._weights,
-                jnp.int32(j), jnp.int32(spec_row), self.cam, sub,
-                max_orb_distance_da=self.opts.max_orb_distance_da,
-                residual_th=self.opts.residual_th,
-                max_y_diff_epipolar=self.opts.max_y_diff_epipolar,
-                filter_by_direction=self.opts.da_filter_by_direction,
-                use_fund_matrix=m in (1, 3),
-                use_change_pose=m in (2, 3),
-                kernel_param=self.vo_opts.kernel_param,
-                ransac_n_hyp=self._ransac_n_hyp,
-            )
-        self.store.arrays = new_arrays
-        self.bow._db = new_db
         snap["da_key"] = self._da_key  # post-split: replay re-splits in order
-        self._spec.append(dict(
-            handles=handles, frame=None, frame_ref=(batch_rec["feats"], j),
+        spec_entry = dict(
+            handles=None, frame=None, frame_ref=(batch_rec["feats"], j),
             res=res, force=force_new_kf,
             ins=predict_insert, m_valid_j=m_valid[j],
-            incr_at_check=snap["incr_kf"], snap=snap, spec_row=spec_row))
+            incr_at_check=snap["incr_kf"], snap=snap, spec_row=spec_row)
+        self._spec.append(spec_entry)
+        self._check_plan.append(dict(
+            spec=spec_entry, feats=batch_rec["feats"], j=j, row=spec_row,
+            key=sub))
         if predict_insert:
             # reset accumulators/thresholds, re-reference the track chains
             # to this frame (ids pending until resolution)
@@ -739,6 +733,48 @@ class SRBAStereoSLAMEstimator:
         # predicted no-insert: state untouched (the overwhelmingly common
         # no-insert outcome changes nothing — threshold shrink only happens
         # in the narrow best ∈ [th, th+plus] window and counts as a miss)
+
+    def _dispatch_planned_checks(self):
+        """Dispatch every planned-but-undispatched deferred check in ONE
+        fused_checks_batch call per CHECK_SLOTS group (padded slots are
+        masked no-ops — a single compiled program covers every check
+        count). Must run before any pull of spec handles."""
+        plan, self._check_plan = self._check_plan, []
+        if not plan:
+            return
+        from srba_slam_tpu.models.data_association import (
+            CHECK_SLOTS, fused_checks_batch,
+        )
+
+        m = self.opts.da_stage2_method
+        for g0 in range(0, len(plan), CHECK_SLOTS):
+            grp = plan[g0:g0 + CHECK_SLOTS]
+            n = len(grp)
+            pad = CHECK_SLOTS - n
+            js = np.array([g["j"] for g in grp] + [0] * pad, np.int32)
+            rows = np.array([g["row"] for g in grp] + [0] * pad, np.int32)
+            valids = np.array([True] * n + [False] * pad)
+            keys = jnp.stack([g["key"] for g in grp]
+                             + [grp[-1]["key"]] * pad)
+            with self.profiler.section("queryDB"):
+                blobs, new_arrays, new_db = fused_checks_batch(
+                    grp[0]["feats"], self.store.arrays, self.bow._db,
+                    self.bow._leaf_bits, self.bow._weights,
+                    jnp.asarray(js), jnp.asarray(rows), jnp.asarray(valids),
+                    self.cam, keys,
+                    max_orb_distance_da=self.opts.max_orb_distance_da,
+                    residual_th=self.opts.residual_th,
+                    max_y_diff_epipolar=self.opts.max_y_diff_epipolar,
+                    filter_by_direction=self.opts.da_filter_by_direction,
+                    use_fund_matrix=m in (1, 3),
+                    use_change_pose=m in (2, 3),
+                    kernel_param=self.vo_opts.kernel_param,
+                    ransac_n_hyp=self._ransac_n_hyp,
+                )
+            self.store.arrays = new_arrays
+            self.bow._db = new_db
+            for g, blob in zip(grp, blobs[:n]):
+                g["spec"]["handles"] = (blob,)
 
     def _spec_frame(self, c: dict):
         """Materialize a deferred check's sliced frame lazily (only the
@@ -830,6 +866,7 @@ class SRBAStereoSLAMEstimator:
 
     def _resolve_pending_checks(self):
         """Force deferred checks + queued window solves to land (one pull)."""
+        self._dispatch_planned_checks()
         if not self._spec:
             self.rba.flush()
             self._reanchor_if_dirty()
@@ -1396,6 +1433,7 @@ class SRBAStereoSLAMEstimator:
         try:
             self.rba._pending = []  # failed/in-flight solves are not committable
             self._spec = []         # unresolved speculative checks likewise
+            self._check_plan = []
             self.finalize(out_dir=out_dir)
         except Exception:
             # minimal fallback: raw graph + unoptimized trajectory
