@@ -211,3 +211,68 @@ def test_direction_filter_helps_on_pan_motion(rng):
     # without the filter the decoys' zero-distance collisions survive as
     # (geometrically wrong) tracked matches
     assert (st_off[victims] == S_TRACKED).sum() > 15, st_off[victims]
+
+
+def test_fused_checks_batch_chains_and_pads(rng):
+    """fused_checks_batch must equal sequential fused_check_write calls
+    bit-exactly (the scan carry reproduces the per-check speculative-write
+    chaining) and its padded slots must leave the store/DB untouched."""
+    from srba_slam_tpu.models.data_association import (
+        CHECK_SLOTS, fused_check_write, fused_checks_batch,
+    )
+    from srba_slam_tpu.models.keyframe import KFArrays
+
+    kf0, kf1, _pose1, pts = _setup(rng)
+    feats = jax.tree.map(lambda a, b: jnp.stack([a, b]), kf0, kf1)
+
+    max_kfs = 8
+    w_pad = 512
+    leaf_bits = jnp.asarray(
+        rng.integers(0, 2, (w_pad, 256)).astype(np.float32))
+    weights = jnp.asarray(rng.uniform(0.1, 1.0, w_pad).astype(np.float32))
+
+    row_fields = (kf0.ys_l, kf0.xs_l, kf0.valid_l, kf0.desc_l, kf0.ys_r,
+                  kf0.xs_r, kf0.valid_r, kf0.desc_r, kf0.m_r_idx,
+                  kf0.m_valid, kf0.pts3d, kf0.octave)
+
+    def fresh_state():
+        arrays = KFArrays(*(jnp.zeros((max_kfs,) + tuple(a.shape), a.dtype)
+                            for a in row_fields))
+        db = jnp.zeros((max_kfs, w_pad), jnp.float32)
+        return arrays, db
+
+    k0, k1 = jax.random.split(jax.random.PRNGKey(3))
+
+    # sequential reference: check kf0 at row 1, then kf1 at row 2 (the
+    # second check must see the first's speculative row through the chain)
+    arrays, db = fresh_state()
+    (b0,), arrays, db = fused_check_write(
+        feats, arrays, db, leaf_bits, weights, jnp.int32(0), jnp.int32(1),
+        CAM, k0)
+    (b1,), arrays_ref, db_ref = fused_check_write(
+        feats, arrays, db, leaf_bits, weights, jnp.int32(1), jnp.int32(2),
+        CAM, k1)
+
+    # fused: same two checks + padded slots in ONE dispatch
+    arrays, db = fresh_state()
+    pad = CHECK_SLOTS - 2
+    js = jnp.asarray(np.array([0, 1] + [0] * pad, np.int32))
+    rows = jnp.asarray(np.array([1, 2] + [0] * pad, np.int32))
+    valids = jnp.asarray(np.array([True, True] + [False] * pad))
+    keys = jnp.stack([k0, k1] + [k1] * pad)
+    blobs, arrays_f, db_f = fused_checks_batch(
+        feats, arrays, db, leaf_bits, weights, js, rows, valids, CAM, keys)
+
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(blobs[0]))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(blobs[1]))
+    np.testing.assert_array_equal(np.asarray(db_ref), np.asarray(db_f))
+    for a_ref, a_f in zip(arrays_ref, arrays_f):
+        np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_f))
+    # padded slots wrote nothing anywhere: rows 0 and 3+ are still zero
+    for a in arrays_f:
+        np.testing.assert_array_equal(np.asarray(a[0]),
+                                      np.zeros_like(np.asarray(a[0])))
+        np.testing.assert_array_equal(np.asarray(a[3:]),
+                                      np.zeros_like(np.asarray(a[3:])))
+    np.testing.assert_array_equal(np.asarray(db_f[3:]),
+                                  np.zeros((max_kfs - 3, w_pad), np.float32))
