@@ -37,6 +37,7 @@ from srba_slam_tpu.models.estimator import SRBAStereoSLAMEstimator, StepResult
 from srba_slam_tpu.models.vo import extract_and_match, track_and_solve
 from srba_slam_tpu.parallel.batch import BATCH_AXIS, make_mesh, shard_batch
 from srba_slam_tpu.utils import se3_np
+from srba_slam_tpu.utils.pull import bulk_pull
 
 
 class FleetSLAM:
@@ -282,7 +283,7 @@ class FleetSLAM:
                    cur.pts3d)
         pends = [e.rba.pending_device_arrays() for e in self.ests]
         flat_pend = tuple(a for p in pends for a in p)
-        pulled = jax.device_get(handles + flat_pend)
+        pulled = bulk_pull(handles + flat_pend)
         qa = pulled[: len(handles)]
         off = len(handles)
         for e, p in zip(self.ests, pends):

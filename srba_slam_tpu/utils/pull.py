@@ -23,12 +23,18 @@ import numpy as np
 
 _I32 = np.dtype(np.int32)
 _F32 = np.dtype(np.float32)
+# dtypes that widen to int32 exactly (narrowed back on the host); int64 and
+# f64 are deliberately rejected — they cannot ride an int32 lane losslessly
+_WIDEN = tuple(np.dtype(t) for t in (np.bool_, np.int8, np.int16,
+                                     np.uint8, np.uint16, np.uint32))
 
 
 def bulk_pull(handles) -> tuple:
-    """``jax.device_get`` a sequence of int32/float32 device arrays as ONE
-    transfer.  Returns a tuple of numpy arrays in input order, bit-exact vs
-    pulling each individually."""
+    """``jax.device_get`` a sequence of device arrays as ONE transfer.
+    Returns a tuple of numpy arrays in input order, bit-exact vs pulling
+    each individually.  float32 rides bitcast; bool/int8/int16/uint8/
+    uint16/uint32 widen to int32 on device and narrow back on the host
+    (uint32 bitcasts, so all 32 bits survive)."""
     handles = tuple(handles)
     if not handles:
         return ()
@@ -39,8 +45,12 @@ def bulk_pull(handles) -> tuple:
         flat = h if (getattr(h, "ndim", None) == 1) else jnp.ravel(h)
         if h.dtype == _F32:
             flat = jax.lax.bitcast_convert_type(flat, jnp.int32)
+        elif h.dtype == np.dtype(np.uint32):
+            flat = jax.lax.bitcast_convert_type(flat, jnp.int32)
+        elif h.dtype in _WIDEN:
+            flat = flat.astype(jnp.int32)
         elif h.dtype != _I32:
-            raise TypeError(f"bulk_pull supports int32/float32, got {h.dtype}")
+            raise TypeError(f"bulk_pull cannot carry {h.dtype} losslessly")
         parts.append(flat)
     big = np.asarray(jax.device_get(jnp.concatenate(parts)))
     out, o = [], 0
@@ -50,5 +60,9 @@ def bulk_pull(handles) -> tuple:
         o += n
         if h.dtype == _F32:
             v = v.view(np.float32)
+        elif h.dtype == np.dtype(np.uint32):
+            v = v.view(np.uint32)
+        elif h.dtype in _WIDEN:
+            v = v.astype(h.dtype)
         out.append(v.reshape(h.shape))
     return tuple(out)
