@@ -146,8 +146,32 @@ def _get_cpu_anchor() -> float | None:
         return None
 
 
+def _tpu_tunnel_alive(timeout_s: float = 600.0) -> bool:
+    """Probe the tunneled TPU backend from a SUBPROCESS with a hard timeout.
+    The axon tunnel can wedge so hard that even ``jax.devices()`` blocks
+    forever (observed: multi-hour outages); probing in-process would hang
+    the whole benchmark. A dead probe lets main() fall back to the CPU
+    backend so the driver still gets its one JSON line (clearly labeled by
+    the metric's backend suffix) instead of a hung run."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return r.returncode == 0 and "ok" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") \
+            and not _tpu_tunnel_alive():
+        print("bench: TPU tunnel unresponsive; falling back to CPU",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
 
     _enable_persistent_compile_cache()
     cam, frames = _build_workload()

@@ -657,6 +657,22 @@ class SRBAStereoSLAMEstimator:
                 if new_ids is not None:
                     self._bp = np.where(m_valid[j], np.arange(k), -1)
                     self._ref_ids = new_ids.copy()
+            # max_num_kfs is a per-FRAME stop in the reference main loop
+            # (.cpp:930-932 ≙ perform_stereo_slam): a batch must not
+            # overshoot it with later-frame insertions. When the PREDICTED
+            # count reaches the limit, resolve and stop the walk at this
+            # frame iff the committed count confirms it.
+            if self.general.max_num_kfs and self.store.n_kfs + sum(
+                    1 for x in self._spec if x["ins"]) \
+                    >= self.general.max_num_kfs:
+                self._replay_flag = False
+                self._resolve_pending_checks()
+                if self._replay_flag:
+                    # the replay re-walked this batch's tail (honoring the
+                    # stop itself) with exact state — nothing left here
+                    return
+                if self.store.n_kfs >= self.general.max_num_kfs:
+                    return
 
     # ----------------------------------------------- speculative KF checks
     # The check's query+DA dispatch is cheap; its blocking PULL costs a full

@@ -197,3 +197,48 @@ def test_batched_single_transfer_per_batch(monkeypatch):
     assert loop_calls <= n_batches + 1, calls
     # epilogue: at most one resolve + one flush transfer
     assert total <= loop_calls + 2, calls
+
+
+def test_kf_capacity_guard_with_planned_checks():
+    """At the keyframe-capacity boundary the batched walk resolves mid-batch
+    — planned-but-undispatched fused checks must flush before that pull, and
+    batched mode must stop at exactly max_num_kfs like per-frame mode."""
+    from srba_slam_tpu.config import (
+        GeneralOptions, SRBAStereoSLAMOptions, VOOptions,
+    )
+    from srba_slam_tpu.models.estimator import SRBAStereoSLAMEstimator
+
+    cam = small_cam()
+    frames = list(SyntheticSource(cam, n_frames=25, seed=11, step=0.12))
+
+    def make():
+        opts = SRBAStereoSLAMOptions(
+            orb_adaptive_fast_th=True,
+            camera=cam, n_feats=256, detect_fast_th=12,
+            adaptive_th_min_matches=40, max_translation=0.18,
+            max_rotation=10.0, updated_matches_th=40, vo_id_tracking_th=30,
+            srba_submap_size=5, srba_max_optimize_depth=3,
+            da_filter_by_direction=False, residual_th=10.0,
+        )
+        est = SRBAStereoSLAMEstimator(
+            GeneralOptions(max_num_kfs=4), opts,
+            VOOptions(fast_th=12, n_feats=256),
+            capacity=256, max_kfs=64,
+        )
+        est.initialize()
+        return est
+
+    est_a = make()
+    for l, r in frames:
+        est_a.step(l, r)
+        if est_a.store.n_kfs >= 4:
+            break
+    est_b = make()
+    est_b.perform_stereo_slam_batched(frames, batch=5)
+
+    assert est_b.store.n_kfs == est_a.store.n_kfs == 4
+    # the stop is per-frame exact: batched mode ends its log at the same
+    # frame per-frame mode stopped on (no intra-batch overshoot)
+    ka = [(r.frame_idx, r.kf_check, r.inserted_kf) for r in est_a.step_log]
+    kb = [(r.frame_idx, r.kf_check, r.inserted_kf) for r in est_b.step_log]
+    assert ka == kb
