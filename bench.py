@@ -167,8 +167,12 @@ def _tpu_tunnel_alive(timeout_s: float = 600.0) -> bool:
 def main():
     import jax
 
-    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") \
-            and not _tpu_tunnel_alive():
+    # probe UNCONDITIONALLY: the JAX_PLATFORMS env var does not decide the
+    # backend here (the axon sitecustomize overrides it — CLAUDE.md pitfall
+    # 1), but the subprocess inherits the same sitecustomize, so it lands on
+    # exactly the backend this process would; a healthy (or CPU) backend
+    # answers in seconds
+    if not _tpu_tunnel_alive():
         print("bench: TPU tunnel unresponsive; falling back to CPU",
               file=sys.stderr)
         jax.config.update("jax_platforms", "cpu")

@@ -363,33 +363,30 @@ def fused_check_write(
     """
     blob, new_arrays, new_db = _check_one_slot(
         feats, store_arrays, db, leaf_bits, weights, j, n_kfs,
-        jnp.asarray(True), cam, key, n_query, max_orb_distance_da,
+        cam, key, n_query, max_orb_distance_da,
         residual_th, max_y_diff_epipolar, filter_by_direction,
         use_fund_matrix, use_change_pose, kernel_param, ransac_n_hyp)
     return (blob,), new_arrays, new_db
 
 
 def _check_one_slot(feats, store_arrays, db, leaf_bits, weights, j, row,
-                    valid, cam, key, n_query, max_orb_distance_da,
+                    cam, key, n_query, max_orb_distance_da,
                     residual_th, max_y_diff_epipolar, filter_by_direction,
                     use_fund_matrix, use_change_pose, kernel_param,
                     ransac_n_hyp):
-    """One deferred check: masked speculative row write + BoW query + DA
-    cascade + output packing. ``valid=False`` makes the store/DB writes an
-    identity (the slot's results are computed anyway and ignored) — the
-    padding contract of :func:`fused_checks_batch`."""
+    """One deferred check: speculative row write + BoW query + DA cascade +
+    output packing. Callers handle padding themselves — the batch program
+    skips invalid slots entirely via ``lax.cond``."""
     from srba_slam_tpu.models.bow import bow_vector
 
     frame = jax.tree.map(lambda a: a[j], feats)
     row_vals = (frame.ys_l, frame.xs_l, frame.valid_l, frame.desc_l,
                 frame.ys_r, frame.xs_r, frame.valid_r, frame.desc_r,
                 frame.m_r_idx, frame.m_valid, frame.pts3d, frame.octave)
-    new_arrays = KFArrays(*(arr.at[row].set(jnp.where(valid, val, arr[row]))
+    new_arrays = KFArrays(*(arr.at[row].set(val)
                             for arr, val in zip(store_arrays, row_vals)))
     v = bow_vector(frame.desc_l, frame.m_valid, leaf_bits, weights)
-    v_write = jnp.where(valid, v, jax.lax.dynamic_slice(
-        db, (row, 0), (1, db.shape[1]))[0])
-    new_db = jax.lax.dynamic_update_slice(db, v_write[None, :], (row, 0))
+    new_db = jax.lax.dynamic_update_slice(db, v[None, :], (row, 0))
 
     scores_all = jnp.sum(jnp.minimum(new_db, v[None, :]), axis=-1)
     rows = jnp.arange(new_db.shape[0])
@@ -458,10 +455,10 @@ def fused_checks_batch(
     ``lax.scan`` over ``CHECK_SLOTS`` padded slots, threading the
     keyframe-store/BoW-DB speculative writes through the carry (identical
     chaining semantics to sequential per-check dispatches — later checks
-    see earlier checks' speculative rows). Invalid slots compute-and-
-    discard: their writes are masked to an identity (device compute is
-    nearly free on this backend; a per-count program would queue a fresh
-    remote compile for every distinct check count).
+    see earlier checks' speculative rows). Padded (invalid) slots skip the
+    whole check through ``lax.cond`` — a check is ~10 ms of real device
+    compute, and a per-count program would queue a fresh remote compile
+    for every distinct check count.
 
     Returns (blobs, new_store_arrays, new_db) where ``blobs`` is a tuple of
     CHECK_SLOTS per-slot output blobs (same layout as
@@ -471,10 +468,9 @@ def fused_checks_batch(
         j, row, valid, key = xs
 
         def run(_):
-            # valid=True: inside the taken branch the write is unconditional
             return _check_one_slot(
                 feats, arrays, db_, leaf_bits, weights, j, row,
-                jnp.asarray(True), cam, key, n_query, max_orb_distance_da,
+                cam, key, n_query, max_orb_distance_da,
                 residual_th, max_y_diff_epipolar, filter_by_direction,
                 use_fund_matrix, use_change_pose, kernel_param, ransac_n_hyp)
 

@@ -752,9 +752,9 @@ class SRBAStereoSLAMEstimator:
 
     def _dispatch_planned_checks(self):
         """Dispatch every planned-but-undispatched deferred check in ONE
-        fused_checks_batch call per CHECK_SLOTS group (padded slots are
-        masked no-ops — a single compiled program covers every check
-        count). Must run before any pull of spec handles."""
+        fused_checks_batch call per CHECK_SLOTS group (padded slots skip
+        their compute via lax.cond — a single compiled program covers
+        every check count). Must run before any pull of spec handles."""
         plan, self._check_plan = self._check_plan, []
         if not plan:
             return
@@ -763,8 +763,18 @@ class SRBAStereoSLAMEstimator:
         )
 
         m = self.opts.da_stage2_method
-        for g0 in range(0, len(plan), CHECK_SLOTS):
-            grp = plan[g0:g0 + CHECK_SLOTS]
+        # group by (feats identity, slot capacity): a group's js index into
+        # ONE batch's feature arrays — a plan spanning two batches (never
+        # produced today, but the flush sites tolerate leftovers) must not
+        # mix them
+        grps: list[list[dict]] = []
+        for g in plan:
+            if grps and grps[-1][0]["feats"] is g["feats"] \
+                    and len(grps[-1]) < CHECK_SLOTS:
+                grps[-1].append(g)
+            else:
+                grps.append([g])
+        for grp in grps:
             n = len(grp)
             pad = CHECK_SLOTS - n
             js = np.array([g["j"] for g in grp] + [0] * pad, np.int32)

@@ -30,16 +30,48 @@ _WIDEN = tuple(np.dtype(t) for t in (np.bool_, np.int8, np.int16,
 
 
 def bulk_pull(handles) -> tuple:
-    """``jax.device_get`` a sequence of device arrays as ONE transfer.
-    Returns a tuple of numpy arrays in input order, bit-exact vs pulling
-    each individually.  float32 rides bitcast; bool/int8/int16/uint8/
-    uint16/uint32 widen to int32 on device and narrow back on the host
-    (uint32 bitcasts, so all 32 bits survive)."""
+    """``jax.device_get`` a sequence of device arrays in as few transfers
+    as possible (one per distinct device set).  Returns a tuple of numpy
+    arrays in input order, bit-exact vs pulling each individually.
+    float32 rides bitcast; bool/int8/int16/uint8/uint16/uint32 widen to
+    int32 on device and narrow back on the host (uint32 bitcasts, so all
+    32 bits survive).
+
+    Handles committed to DIFFERENT device sets (e.g. a mesh-sharded
+    window-solve blob next to a single-device check blob) cannot share one
+    ``jnp.concatenate`` — XLA refuses mixed-commitment inputs — so handles
+    are grouped by their device set and each group pulled as one blob; any
+    group that still fails to fuse falls back to a plain device_get."""
     handles = tuple(handles)
     if not handles:
         return ()
     if len(handles) == 1:
         return (np.asarray(jax.device_get(handles[0])),)
+    # group by committed device set (metadata only — no sync)
+    groups: dict[tuple, list[int]] = {}
+    for i, h in enumerate(handles):
+        try:
+            key = tuple(sorted(d.id for d in h.devices()))
+        except Exception:
+            key = ()
+        groups.setdefault(key, []).append(i)
+    out: list = [None] * len(handles)
+    for idxs in groups.values():
+        if len(idxs) == 1:
+            out[idxs[0]] = np.asarray(jax.device_get(handles[idxs[0]]))
+            continue
+        try:
+            vals = _fused_pull([handles[i] for i in idxs])
+        except Exception:
+            vals = [np.asarray(v)
+                    for v in jax.device_get([handles[i] for i in idxs])]
+        for i, v in zip(idxs, vals):
+            out[i] = v
+    return tuple(out)
+
+
+def _fused_pull(handles) -> list:
+    """One concatenated int32 transfer for same-device-set handles."""
     parts = []
     for h in handles:
         flat = h if (getattr(h, "ndim", None) == 1) else jnp.ravel(h)
@@ -65,4 +97,4 @@ def bulk_pull(handles) -> tuple:
         elif h.dtype in _WIDEN:
             v = v.astype(h.dtype)
         out.append(v.reshape(h.shape))
-    return tuple(out)
+    return out
