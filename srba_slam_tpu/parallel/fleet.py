@@ -172,7 +172,7 @@ class FleetSLAM:
                 cur, track_idx, track_valid, poses, pose_valid = \
                     self._vo_prog(lefts, rights, prev, init, fast_ths,
                                   orb_ths)
-            m_valid_h, tv_h, ti_h, poses_h, pv_h = jax.device_get(
+            m_valid_h, tv_h, ti_h, poses_h, pv_h = bulk_pull(
                 (cur.m_valid, track_valid, track_idx, poses, pose_valid))
             n_matches = m_valid_h.sum(axis=1)
             retry = False
