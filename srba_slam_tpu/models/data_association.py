@@ -432,11 +432,16 @@ def fused_checks_batch(
     db: jax.Array,               # BoW database [MAX_KFS, W] (donated)
     leaf_bits: jax.Array,
     weights: jax.Array,
-    js: jax.Array,               # int32 [CHECK_SLOTS] frame index per slot
-    rows: jax.Array,             # int32 [CHECK_SLOTS] speculative row per slot
-    valids: jax.Array,           # bool  [CHECK_SLOTS]
+    js,                          # CHECK_SLOTS-tuple of python ints (frame
+    #   index per slot) — python scalars ride the RPC itself; an int32
+    #   array argument would be a real host->device upload that queues
+    #   BEHIND the in-flight ~14 MB frame prefetch (the tunnel serializes
+    #   transfers in enqueue order), delaying the checks by a whole upload
+    rows,                        # CHECK_SLOTS-tuple of python ints
+    valids,                      # CHECK_SLOTS-tuple of python bools
     cam: StereoCamera,
     keys: jax.Array,             # [CHECK_SLOTS, ...] PRNG key per slot
+    #   (already device-resident: outputs of jax.random.split)
     n_query: int = 4,
     max_orb_distance_da: float = 60.0,
     residual_th: float = 30.0,
@@ -486,7 +491,11 @@ def fused_checks_batch(
         return (arrays, db_), blob
 
     (new_arrays, new_db), blobs = jax.lax.scan(
-        body, (store_arrays, db), (js, rows, valids, keys))
+        body, (store_arrays, db),
+        (jnp.stack([jnp.int32(j) for j in js]),
+         jnp.stack([jnp.int32(r) for r in rows]),
+         jnp.stack([jnp.asarray(v) for v in valids]),
+         keys))
     return tuple(blobs), new_arrays, new_db
 
 

@@ -777,16 +777,19 @@ class SRBAStereoSLAMEstimator:
         for grp in grps:
             n = len(grp)
             pad = CHECK_SLOTS - n
-            js = np.array([g["j"] for g in grp] + [0] * pad, np.int32)
-            rows = np.array([g["row"] for g in grp] + [0] * pad, np.int32)
-            valids = np.array([True] * n + [False] * pad)
+            # js/rows/valids travel as PYTHON SCALARS (free through the
+            # tunnel RPC); array args would upload behind the in-flight
+            # frame prefetch and delay the checks by a whole transfer
+            js = tuple(int(g["j"]) for g in grp) + (0,) * pad
+            rows = tuple(int(g["row"]) for g in grp) + (0,) * pad
+            valids = (True,) * n + (False,) * pad
             keys = jnp.stack([g["key"] for g in grp]
                              + [grp[-1]["key"]] * pad)
             with self.profiler.section("queryDB"):
                 blobs, new_arrays, new_db = fused_checks_batch(
                     grp[0]["feats"], self.store.arrays, self.bow._db,
                     self.bow._leaf_bits, self.bow._weights,
-                    jnp.asarray(js), jnp.asarray(rows), jnp.asarray(valids),
+                    js, rows, valids,
                     self.cam, keys,
                     max_orb_distance_da=self.opts.max_orb_distance_da,
                     residual_th=self.opts.residual_th,

@@ -256,9 +256,9 @@ def test_fused_checks_batch_chains_and_pads(rng):
     # fused: same two checks + padded slots in ONE dispatch
     arrays, db = fresh_state()
     pad = CHECK_SLOTS - 2
-    js = jnp.asarray(np.array([0, 1] + [0] * pad, np.int32))
-    rows = jnp.asarray(np.array([1, 2] + [0] * pad, np.int32))
-    valids = jnp.asarray(np.array([True, True] + [False] * pad))
+    js = (0, 1) + (0,) * pad          # python scalars, as production passes
+    rows = (1, 2) + (0,) * pad
+    valids = (True, True) + (False,) * pad
     keys = jnp.stack([k0, k1] + [k1] * pad)
     blobs, arrays_f, db_f = fused_checks_batch(
         feats, arrays, db, leaf_bits, weights, js, rows, valids, CAM, keys)
