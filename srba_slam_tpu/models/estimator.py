@@ -432,7 +432,9 @@ class SRBAStereoSLAMEstimator:
         last_feat, last_inc, outs = vo_scan(
             jnp.asarray(lefts), jnp.asarray(rights),
             prev_feat, prev_inc,
-            self.cam, jnp.float32(eng.fast_th), jnp.int32(eng.orb_th),
+            # thresholds as python scalars: free through the dispatch RPC
+            # (a device scalar would be one more enqueued transfer)
+            self.cam, float(eng.fast_th), int(eng.orb_th),
             k=self.capacity, cell=o.min_distance, max_y_diff=o.max_y_diff,
             oriented=o.orb_oriented,
             n_levels=o.n_octaves,
