@@ -31,6 +31,11 @@ def main(argv=None):
     ap.add_argument("--gt", default="", metavar="FILE",
                     help="ground-truth trajectory (out_kf_poses.txt format "
                          "or Nx3 xyz) to report ATE RMSE against")
+    ap.add_argument("--fleet", type=int, default=0, metavar="S",
+                    help="with --synthetic: run S independent sequences in "
+                         "lockstep, sharded over the device mesh "
+                         "(parallel.fleet); per-sequence outputs land in "
+                         "<out_dir>/seq<i>/")
     args = ap.parse_args(argv)
 
     import jax
@@ -68,6 +73,58 @@ def main(argv=None):
         load_state(est, resume_path)
         print(f"[srba_slam_tpu] resumed from {resume_path} "
               f"({est.store.n_kfs} KFs)")
+
+    if args.fleet:
+        # multi-sequence lockstep evaluation over the device mesh — the
+        # TPU-native scale-out axis the single-threaded reference lacks
+        # (SURVEY §2.3); each sequence is a full independent SLAM run
+        if not args.synthetic:
+            print("[srba_slam_tpu] error: --fleet requires --synthetic N "
+                  "(multi-directory image fleets are not wired to the CLI)",
+                  file=sys.stderr)
+            return 2
+        import os
+
+        from srba_slam_tpu.parallel.fleet import FleetSLAM
+
+        ests = [est] + [
+            SRBAStereoSLAMEstimator.from_config(args.config)
+            for _ in range(args.fleet - 1)
+        ]
+        voc = est.bow.voc if est.bow is not None else None
+        if voc is None:
+            # no vocabulary file in the config: train ONE shared vocabulary
+            # from sequence 0's first frame (the fleet's batched BoW/DA
+            # program bakes a single leaf table for all sequences)
+            scratch = SRBAStereoSLAMEstimator.from_config(args.config)
+            scratch.initialize()
+            l0, r0 = next(iter(SyntheticSource(
+                scratch.cam, n_frames=1, step=0.5, seed=11)))
+            scratch.step(l0, r0)
+            voc = scratch.bow.voc
+            est.initialize(vocabulary=voc)
+        for e in ests[1:]:
+            e.initialize(vocabulary=voc)
+        sources = [
+            SyntheticSource(e.cam, n_frames=args.synthetic, step=0.5,
+                            seed=11 + 37 * i)
+            for i, e in enumerate(ests)
+        ]
+        fleet = FleetSLAM(ests)
+        t0 = time.time()
+        fleet.run(sources)
+        dt = time.time() - t0
+        n_frames = sum(e.frame_idx + 1 for e in ests)
+        print(f"[srba_slam_tpu] fleet: {len(ests)} sequences x "
+              f"{args.synthetic} frames on a {len(fleet.mesh.devices.ravel())}"
+              f"-device mesh, {n_frames / max(dt, 1e-9):.2f} frames/s "
+              "aggregate")
+        out_dir = est.general.out_dir or "out"
+        for i, e in enumerate(ests):
+            e.finalize(out_dir=os.path.join(out_dir, f"seq{i}"))
+            print(f"[srba_slam_tpu]   seq{i}: {e.store.n_kfs} keyframes -> "
+                  f"{out_dir}/seq{i}/")
+        return 0
 
     if args.synthetic:
         source = SyntheticSource(est.cam, n_frames=args.synthetic, step=0.5)
