@@ -156,7 +156,8 @@ def _tpu_tunnel_alive(timeout_s: float = 300.0) -> bool:
     try:
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax; jax.devices(); print('ok')"],
+             "import jax, jax.numpy as jnp; jax.devices(); "
+             "jax.device_get(jnp.arange(8).sum()); print('ok')"],
             capture_output=True, text=True, timeout=timeout_s,
         )
         return r.returncode == 0 and "ok" in r.stdout
