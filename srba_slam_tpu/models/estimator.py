@@ -82,6 +82,90 @@ def _unpack_scan_outs(ints, floats, b: int, k: int):
     return track_idx, track_valid, m_valid, poses, pose_valid, mean_res, last_inc
 
 
+class _FrameUploader:
+    """Background host→device frame staging for the batched loop.
+
+    Through the tunneled runtime the host→device link is the first
+    bottleneck (~0.9 MB/frame of uint8 at ~50-65 MB/s ⇒ ~0.9 s of link
+    time per 60 frames).  Enqueueing one 13+ MB batch upload per loop
+    iteration from the main thread leaves the link IDLE during every
+    blocking pull wait (the only points the main thread yields) and
+    head-of-line blocks the next pull request behind a whole batch of
+    frame bytes — measured link utilization was ~57%.  A worker thread
+    feeding PER-FRAME uploads keeps the link busy through the pulls
+    (the tunnel is full-duplex; blocking device_gets release the GIL)
+    and bounds any pull's queueing delay at one frame (~15 ms).
+
+    ``next()`` yields ``((dev_lefts, dev_rights), (host_l, host_r))``
+    per batch — per-frame device arrays (stacked on device by
+    ``_dispatch_scan``) plus the stacked host copies kept for the
+    adaptive-retry tail re-dispatch.  ``drain_and_stop()`` returns the
+    host copies of staged-but-unconsumed batches so an early stop
+    (max_num_kfs / to_step) never loses prefetched frames.
+    """
+
+    def __init__(self, frame_iter, batch: int, depth: int = 2):
+        import queue
+        import threading
+
+        self._it = frame_iter
+        self._batch = batch
+        self._q = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True,
+                                   name="srba-frame-uploader")
+        self._t.start()
+
+    def _run(self):
+        try:
+            while not self._stop.is_set():
+                lefts, rights, dev_l, dev_r = [], [], [], []
+                for _ in range(self._batch):
+                    try:
+                        l, r = next(self._it)
+                    except StopIteration:
+                        break
+                    lefts.append(np.asarray(l))
+                    rights.append(np.asarray(r))
+                    # per-frame uploads: small chunks, link never idles
+                    dev_l.append(jnp.asarray(lefts[-1]))
+                    dev_r.append(jnp.asarray(rights[-1]))
+                if not lefts:
+                    self._q.put(None)
+                    return
+                self._q.put(((dev_l, dev_r),
+                             (np.stack(lefts), np.stack(rights))))
+            self._q.put(None)
+        except BaseException as e:  # re-raised on the consumer side
+            self._q.put(e)
+
+    def next(self):
+        item = self._q.get()
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+    def drain_and_stop(self) -> list:
+        """Stop the worker; return the HOST (lefts, rights) chunk of every
+        staged-but-unconsumed batch, in order."""
+        import queue
+
+        self._stop.set()
+        leftovers = []
+        while self._t.is_alive() or not self._q.empty():
+            try:
+                item = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            if item is None:
+                continue
+            if isinstance(item, BaseException):
+                raise item
+            leftovers.append(item[1])
+        self._t.join()
+        return leftovers
+
+
 @dataclass
 class StepResult:
     """What happened to one frame (for logging / tests)."""
@@ -312,95 +396,62 @@ class SRBAStereoSLAMEstimator:
             self.step(left, right)
         self._sync_bp_from_engine()
 
-        def take():
-            lefts, rights = [], []
-            for _ in range(batch):
-                try:
-                    l, r = next(it)
-                except StopIteration:
-                    break
-                lefts.append(l)
-                rights.append(r)
-            if not lefts:
-                return None
-            return np.stack(lefts), np.stack(rights)
-
-        def stage(chunk):
-            """Start the host->device UPLOAD of a chunk immediately (async);
-            returns (lefts_dev, rights_dev). Through the tunneled runtime the
-            link is the first bottleneck (~0.9 MB/frame of uint8 at
-            ~50-65 MB/s), so uploads are staged TWO batches ahead — the link
-            never idles waiting for the current batch's processing."""
-            return (jnp.asarray(chunk[0]), jnp.asarray(chunk[1]))
-
         # software pipeline: batch n+1's VO scan is dispatched from INSIDE
         # batch n's _process_scan, immediately after batch n's pull and
         # threshold drift — so the next batch always launches with its final
         # thresholds (no speculative scan to discard when the adaptive drift
         # fires; matches hovering around 1.2*adaptive_th made that discard
-        # happen EVERY batch) while its upload and device compute still
-        # overlap all of batch n's keyframe logic and batch n+1's pull wait.
-        # Uploads additionally prefetch one more batch ahead (see stage()).
-        cur_chunk = take()
-        disp = (
-            self._dispatch_scan(*stage(cur_chunk), host=cur_chunk)
-            if cur_chunk else None
-        )
-        nxt_chunk = take()
-        nxt_dev = stage(nxt_chunk) if nxt_chunk is not None else None
-        n2_box = [None, None]
-        while disp is not None:
-            # n+2's upload is staged from INSIDE _process_scan, immediately
-            # AFTER its blocking pull: the tunnel serializes host<->device
-            # operations in enqueue order, so an upload enqueued before the
-            # pull puts its whole transfer time (~240 ms for a 15-frame
-            # uint8 batch) in front of the pull's data — measured pulls
-            # dropped from 200-400 ms to the ~35 ms RTT floor with this
-            # ordering, while the link still has a full batch period to
-            # drain the upload before its scan needs it
-            n2_box[0] = n2_box[1] = None
+        # happen EVERY batch) while its device compute still overlaps all of
+        # batch n's keyframe logic and batch n+1's pull wait.  Frame uploads
+        # run continuously on the _FrameUploader worker thread (per-frame
+        # chunks; see its docstring for the link-utilization model).
+        up = _FrameUploader(it, batch)
+        try:
+            cur = up.next()
+            disp = (
+                self._dispatch_scan(*cur[0], host=cur[1]) if cur else None
+            )
+            nxt = up.next() if disp is not None else None
+            while disp is not None:
+                def next_fn(chain_disp, nd=nxt):
+                    return self._dispatch_scan(*nd[0], chain=chain_disp,
+                                               host=nd[1])
 
-            def stage_fn():
-                c = take()
-                if c is not None:
-                    n2_box[0] = c
-                    n2_box[1] = stage(c)
-
-            def next_fn(chain_disp, nd=nxt_dev, nc=nxt_chunk):
-                return self._dispatch_scan(*nd, chain=chain_disp, host=nc)
-
-            nxt = self._process_scan(
-                disp, next_fn if nxt_chunk is not None else None,
-                stage_fn=stage_fn)
-            n2_chunk, n2_dev = n2_box
-            disp = nxt
-            n_spec_ins = sum(1 for c in self._spec if c["ins"])
-            stop = False
-            if self.general.max_num_kfs and \
-                    self.store.n_kfs + n_spec_ins >= self.general.max_num_kfs:
-                # the predicted count includes unresolved speculative inserts;
-                # a predicted insert that resolves to no-insert would stop the
-                # run short of what per-frame mode produces — resolve first
-                # and re-evaluate on the COMMITTED count
-                self._resolve_pending_checks()
-                if self.store.n_kfs >= self.general.max_num_kfs:
+                disp = self._process_scan(
+                    disp, next_fn if nxt is not None else None)
+                n_spec_ins = sum(1 for c in self._spec if c["ins"])
+                stop = False
+                if self.general.max_num_kfs and \
+                        self.store.n_kfs + n_spec_ins >= \
+                        self.general.max_num_kfs:
+                    # the predicted count includes unresolved speculative
+                    # inserts; a predicted insert that resolves to no-insert
+                    # would stop the run short of what per-frame mode
+                    # produces — resolve first and re-evaluate on the
+                    # COMMITTED count
+                    self._resolve_pending_checks()
+                    if self.store.n_kfs >= self.general.max_num_kfs:
+                        stop = True
+                if self.general.to_step and \
+                        self.frame_idx >= self.general.to_step:
                     stop = True
-            if self.general.to_step and self.frame_idx >= self.general.to_step:
-                stop = True
-            if stop:
-                break
-            nxt_chunk, nxt_dev = n2_chunk, n2_dev
-            n2_chunk = None
+                if stop:
+                    break
+                if disp is not None and nxt is not None:
+                    nxt = up.next()
+        finally:
+            leftovers = up.drain_and_stop()
         self._finish_batched()
-        leftovers = [c for c in (nxt_chunk, n2_chunk)
-                     if c is not None and disp is not None]
-        if leftovers:
+        if disp is not None:
             # a stop condition fired with prefetched-but-unprocessed chunks
             # in hand: stash them so callers sharing the frame iterator (or a
             # follow-up perform call) don't silently lose frames to the
             # prefetch
-            self._stashed_frames = [fr for c in leftovers
-                                    for fr in zip(*c)]
+            if nxt is not None:
+                leftovers.insert(0, nxt[1])
+            if leftovers:
+                self._stashed_frames = [fr for c in leftovers
+                                        for fr in zip(*c)]
         return self.step_log
 
     def step_batch(self, lefts: np.ndarray, rights: np.ndarray):
@@ -414,16 +465,21 @@ class SRBAStereoSLAMEstimator:
     def _dispatch_scan(self, lefts, rights, chain: dict | None = None,
                        host: tuple | None = None) -> dict:
         """Dispatch one vo_scan batch (async). ``lefts``/``rights`` may be
-        host numpy OR already-staged device arrays (the batched loop uploads
-        two batches ahead). ``chain`` continues from an earlier un-processed
-        dispatch's device outputs (prefetch); otherwise the scan chains from
-        the engine's current state. ``host``, when given, holds the numpy
-        copies kept for the adaptive-retry tail re-dispatch (avoids a
-        device->host download of the frames)."""
+        host numpy, already-staged device arrays, or LISTS of per-frame
+        device arrays from the _FrameUploader (stacked here on device — a
+        cheap async dispatch). ``chain`` continues from an earlier
+        un-processed dispatch's device outputs (prefetch); otherwise the
+        scan chains from the engine's current state. ``host``, when given,
+        holds the numpy copies kept for the adaptive-retry tail re-dispatch
+        (avoids a device->host download of the frames)."""
         from srba_slam_tpu.models.vo import vo_scan
 
         eng = self.vo
         o = eng.opts
+        if isinstance(lefts, (list, tuple)):
+            lefts = jnp.stack(lefts)
+        if isinstance(rights, (list, tuple)):
+            rights = jnp.stack(rights)
         prev_feat = chain["last_feat"] if chain else eng._prev
         prev_inc = (
             chain["last_inc"] if chain
@@ -459,7 +515,7 @@ class SRBAStereoSLAMEstimator:
                     b=lefts.shape[0], lefts=h_l, rights=h_r,
                     prev_feat=prev_feat, prev_inc=prev_inc)
 
-    def _process_scan(self, disp: dict, next_fn=None, stage_fn=None):
+    def _process_scan(self, disp: dict, next_fn=None):
         """Pull one dispatched batch and run the per-frame keyframe logic.
 
         ONE blocking transfer serves three purposes: this batch's VO
@@ -490,12 +546,6 @@ class SRBAStereoSLAMEstimator:
         spec = self._spec
         spec_handles = tuple(h for c in spec for h in c["handles"])
         pulled = bulk_pull(disp["pk"] + pend + spec_handles)
-        if stage_fn is not None:
-            # start the n+2 upload now — AFTER the blocking pull, so its
-            # transfer never queues in front of the pull's data (see
-            # perform_stereo_slam_batched); called exactly once per batch
-            # (the adaptive-retry recursion below passes stage_fn=None)
-            stage_fn()
         (track_idx, track_valid, m_valid, poses, pose_valid, mean_res,
          last_inc_h) = _unpack_scan_outs(pulled[0], pulled[1], b,
                                          self.capacity)
