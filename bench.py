@@ -33,7 +33,8 @@ import time
 import numpy as np
 
 BASELINE_FPS = 15.0          # ASSUMED reference-CPU fps (see module docstring)
-BATCH = 15
+BATCH = 20                   # 3 batches per 60 timed frames: fewer pull RTTs
+                             # than 15 (4+fill), less fill variance than 30 (2)
 WARMUP_FRAMES = 1 + BATCH    # bootstrap frame + one full batch (scan compile)
 TIMED_FRAMES = 60
 REPEATS = 5                  # the tunneled TPU pool has stochastic contention
