@@ -217,20 +217,29 @@ def main():
     import jax.numpy as jnp
 
     dev_fps = 0.0
+    link_mbps = None
     for _rep in range(min(3, repeats)):
         if _rep:
             time.sleep(REPEAT_GAP_S)
         est = _build_estimator(cam)
         est.perform_stereo_slam_batched(frames[:WARMUP_FRAMES], batch=BATCH)
         est.rba.flush()
+        t_up = time.perf_counter()
         chunks = []
+        up_bytes = 0
         for c0 in range(WARMUP_FRAMES, len(frames), BATCH):
             chunk = frames[c0:c0 + BATCH]
-            chunks.append((
-                jnp.asarray(np.stack([f[0] for f in chunk])),
-                jnp.asarray(np.stack([f[1] for f in chunk])),
-            ))
+            l = np.stack([f[0] for f in chunk])
+            r = np.stack([f[1] for f in chunk])
+            up_bytes += l.nbytes + r.nbytes
+            chunks.append((jnp.asarray(l), jnp.asarray(r)))
         jax.block_until_ready(chunks)
+        # the staging above IS a bandwidth measurement of the shared tunnel
+        # that day (upload speed is shape-insensitive — BASELINE.md): report
+        # it so a low tunnel median is attributable to link contention
+        # rather than to the pipeline (whose best repeat rides this ceiling)
+        mbps = up_bytes / 1e6 / max(time.perf_counter() - t_up, 1e-9)
+        link_mbps = max(link_mbps or 0.0, mbps)
         jax.block_until_ready(est.vo.last_frame().desc_l)
         t0 = time.perf_counter()
         # pipelined exactly like the real batched loop: batch n+1's scan is
@@ -265,6 +274,15 @@ def main():
         "vs_cpu_anchor":
             None if not cpu_fps else round(median_fps / cpu_fps, 2),
         "device_resident_fps": round(dev_fps, 2),
+        # measured that-day tunnel upload bandwidth and the frame-upload
+        # ceiling it implies for the e2e number (frames are 0.9 MB uint8
+        # stereo pairs; the pipeline's best repeat saturates this link —
+        # tools/upload_probe.py, BASELINE.md)
+        "link_MBps": None if link_mbps is None else round(link_mbps, 1),
+        "upload_bound_fps": None if not link_mbps else round(
+            link_mbps * 1e6 * TIMED_FRAMES / (
+                sum(f[0].nbytes + f[1].nbytes
+                    for f in frames[WARMUP_FRAMES:])), 2),
     }))
 
 
