@@ -35,6 +35,10 @@ import numpy as np
 BASELINE_FPS = 15.0          # ASSUMED reference-CPU fps (see module docstring)
 BATCH = 20                   # 3 batches per 60 timed frames: fewer pull RTTs
                              # than 15 (4+fill), less fill variance than 30 (2)
+DEV_BATCH = 60               # device-resident loop: no upload pacing to match,
+                             # so ONE big batch minimizes blocking pulls
+                             # (tools/devres_probe.py: 93/102/113 fps at
+                             # 20/30/60, identical keyframe decisions)
 WARMUP_FRAMES = 1 + BATCH    # bootstrap frame + one full batch (scan compile)
 TIMED_FRAMES = 60
 REPEATS = 5                  # the tunneled TPU pool has stochastic contention
@@ -227,8 +231,8 @@ def main():
         t_up = time.perf_counter()
         chunks = []
         up_bytes = 0
-        for c0 in range(WARMUP_FRAMES, len(frames), BATCH):
-            chunk = frames[c0:c0 + BATCH]
+        for c0 in range(WARMUP_FRAMES, len(frames), DEV_BATCH):
+            chunk = frames[c0:c0 + DEV_BATCH]
             l = np.stack([f[0] for f in chunk])
             r = np.stack([f[1] for f in chunk])
             up_bytes += l.nbytes + r.nbytes
