@@ -578,10 +578,8 @@ class SRBAStereoSLAMEstimator:
             # (those frames are re-processed by the re-dispatched scan below)
             batch_rec["b"] = retry_j
             self._process_frames(batch_rec, 0, retry_j)
-            if not eng.is_fast_th_min():
-                eng.set_fast_threshold(eng.fast_th - 10)
-            else:
-                eng.set_orb_threshold(eng.orb_th + 10)
+            eng.retry_step()  # guaranteed to move: gated above on a
+                              # movable threshold
             # chain state at the retry point: last processed frame's
             # features (device slice) and its pose increment
             if retry_j > 0:
@@ -611,12 +609,7 @@ class SRBAStereoSLAMEstimator:
         # next batch — nothing below reads the detector thresholds
         if adaptive:
             min_matches = int(n_per.min()) if b else self.capacity
-            if min_matches < 1.2 * th:
-                eng.set_fast_threshold(eng.fast_th - 5)
-            else:
-                if eng.fast_th < eng.fast_th_max:
-                    eng.set_fast_threshold(eng.fast_th + 5)
-                eng.reset_orb_threshold()
+            eng.drift_thresholds(min_matches, th)
         nxt = next_fn(disp) if next_fn is not None else None
 
         self._process_frames(batch_rec, 0, b)
@@ -1074,23 +1067,13 @@ class SRBAStereoSLAMEstimator:
             n = vo.num_stereo_matches
             if n >= th_min_matches:
                 break
-            if not self.vo.is_fast_th_min():
-                self.vo.set_fast_threshold(self.vo.fast_th - 10)
-            elif not self.vo.is_orb_th_max():
-                self.vo.set_orb_threshold(self.vo.orb_th + 10)
-            else:
+            if not self.vo.retry_step():
                 break
             self.vo.set_state(state)  # re-process the same frame
         n = vo.num_stereo_matches
         if n < 8:
             return None  # hopeless frame (≙ abort below 8 matches)
-        if n < 1.2 * th_min_matches:
-            self.vo.set_fast_threshold(self.vo.fast_th - 5)
-        else:
-            # healthy: drift back toward the configured threshold
-            if self.vo.fast_th < self.vo.fast_th_max:
-                self.vo.set_fast_threshold(self.vo.fast_th + 5)
-            self.vo.reset_orb_threshold()
+        self.vo.drift_thresholds(n, th_min_matches)
         return vo
 
     # ------------------------------------------------------------ first KF

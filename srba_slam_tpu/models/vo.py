@@ -465,6 +465,35 @@ class StereoVOEngine:
     def reset_orb_threshold(self):
         self.orb_th = float(self.opts.orb_max_distance)
 
+    def retry_step(self) -> bool:
+        """One adaptive-retry threshold move (≙ the do-while body of
+        reference .cpp:271-315): drop FAST by 10 while it can still drop,
+        then raise the ORB matching threshold by 10. Returns True when a
+        threshold moved (the caller re-processes the same frame / batch
+        tail); False when both are exhausted. Single source for the
+        per-frame retry loop, the batched-scan retry, and the fleet's
+        lockstep retry."""
+        if not self.is_fast_th_min():
+            self.set_fast_threshold(self.fast_th - 10)
+            return True
+        if not self.is_orb_th_max():
+            self.set_orb_threshold(self.orb_th + 10)
+            return True
+        return False
+
+    def drift_thresholds(self, n_matches: float, th_min: float):
+        """Post-retry healthy drift (≙ the tail adjustments of reference
+        .cpp:271-314): below 1.2x the minimum, pull FAST down by 5 (soft
+        zone, no re-process); a healthy frame drifts FAST back toward its
+        configured baseline and resets the ORB threshold. Same
+        single-source rationale as :meth:`retry_step`."""
+        if n_matches < 1.2 * th_min:
+            self.set_fast_threshold(self.fast_th - 5)
+        else:
+            if self.fast_th < self.fast_th_max:
+                self.set_fast_threshold(self.fast_th + 5)
+            self.reset_orb_threshold()
+
     # --- main per-frame entry (≙ processNewImagePair) ---------------------
     def process_stereo_pair(self, left: np.ndarray, right: np.ndarray) -> VOResult:
         cur = extract_and_match(

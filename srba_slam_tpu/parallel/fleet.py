@@ -177,34 +177,24 @@ class FleetSLAM:
             n_matches = m_valid_h.sum(axis=1)
             retry = False
             for e, nm in zip(self.ests, n_matches):
-                if nm < th_min:
-                    if not e.vo.is_fast_th_min():
-                        e.vo.set_fast_threshold(e.vo.fast_th - 10)
-                        retry = True
-                    elif not e.vo.is_orb_th_max():
-                        e.vo.set_orb_threshold(e.vo.orb_th + 10)
-                        retry = True
+                if nm < th_min and e.vo.retry_step():
+                    retry = True
             if not retry:
                 break
         # healthy-threshold drift (≙ .cpp:271-314 post-retry adjustments)
         for e, nm in zip(self.ests, n_matches):
-            if nm < 8:
-                continue
-            if nm < 1.2 * th_min:
-                e.vo.set_fast_threshold(e.vo.fast_th - 5)
-            else:
-                if e.vo.fast_th < e.vo.fast_th_max:
-                    e.vo.set_fast_threshold(e.vo.fast_th + 5)
-                e.vo.reset_orb_threshold()
+            if nm >= 8:
+                e.vo.drift_thresholds(nm, th_min)
 
         # --- per-sequence host bookkeeping (mirrors the estimator's
         #     per-frame logic exactly)
-        # KNOWN DEBT: this block re-implements the id-chain/trigger protocol
-        # that also lives in StereoVOEngine.process_stereo_pair and in the
-        # estimator's backpointer loop; changes to the trigger or retry
-        # semantics must be applied in all three places (the parity tests
-        # in tests/test_parallel.py and tests/test_batch_mode.py catch
-        # drift between them)
+        # KNOWN DEBT (reduced): the threshold retry/drift rules are now a
+        # single source (StereoVOEngine.retry_step/drift_thresholds), but
+        # this block still re-implements the id-chain bookkeeping that also
+        # lives in StereoVOEngine.process_stereo_pair and the estimator's
+        # backpointer loop; id-semantics changes must be applied in all
+        # three places (the parity tests in tests/test_parallel.py and
+        # tests/test_batch_mode.py catch drift between them)
         checks = []  # (seq index, force_new_kf, StepResult)
         for i, e in enumerate(self.ests):
             e.frame_idx += 1
