@@ -107,3 +107,47 @@ def test_vo_multi_octave(scene):
     ys = np.asarray(frame.ys_l)[np.asarray(frame.valid_l)]
     assert len(ys) > 0
     np.testing.assert_allclose(res.pose_increment[5], -0.12, atol=0.03)
+
+
+def test_adaptive_threshold_protocol_rules():
+    """The single-source retry/drift rules (StereoVOEngine.retry_step /
+    drift_thresholds) follow the reference schedule exactly
+    (≙ /root/reference/src/CSRBAStereoSLAMEstimator.cpp:271-315):
+    FAST drops by 10 to its floor, then ORB rises by 10 to its cap, then
+    retry_step reports exhaustion; the drift rule pulls FAST down 5 in
+    the soft zone (<1.2x min matches) and otherwise steps FAST back
+    toward its baseline while resetting ORB."""
+    cam = small_cam()
+    eng = StereoVOEngine(cam, VOOptions(fast_th=25, n_feats=256),
+                         capacity=256)
+    # retry: FAST 25 -> floor in -10 steps, clipped at fast_th_min
+    seen_fast = [eng.fast_th]
+    while not eng.is_fast_th_min():
+        assert eng.retry_step()
+        assert eng.fast_th == max(seen_fast[-1] - 10, eng.fast_th_min)
+        seen_fast.append(eng.fast_th)
+    # then ORB climbs in +10 steps to its cap
+    seen_orb = [eng.orb_th]
+    while not eng.is_orb_th_max():
+        assert eng.retry_step()
+        assert eng.fast_th == eng.fast_th_min  # FAST stays on its floor
+        assert eng.orb_th == min(seen_orb[-1] + 10, eng.orb_th_max)
+        seen_orb.append(eng.orb_th)
+    assert len(seen_fast) > 1 and len(seen_orb) > 1
+    # both exhausted: no further move
+    assert not eng.retry_step()
+
+    # drift, soft zone: FAST down 5 (clipped at the floor), ORB untouched
+    orb_before = eng.orb_th
+    eng.drift_thresholds(n_matches=100, th_min=100)  # 100 < 1.2*100
+    assert eng.fast_th == eng.fast_th_min  # already at floor: clipped
+    assert eng.orb_th == orb_before
+    # drift, healthy: FAST +5 toward baseline, ORB resets to its config
+    eng.set_fast_threshold(eng.fast_th_max - 7)
+    eng.drift_thresholds(n_matches=130, th_min=100)  # >= 1.2*100
+    assert eng.fast_th == eng.fast_th_max - 2
+    assert eng.orb_th == float(eng.opts.orb_max_distance)
+    # healthy at baseline: FAST holds (no overshoot past the configured max)
+    eng.set_fast_threshold(eng.fast_th_max)
+    eng.drift_thresholds(n_matches=130, th_min=100)
+    assert eng.fast_th == eng.fast_th_max
