@@ -483,15 +483,19 @@ class StereoVOEngine:
 
     def drift_thresholds(self, n_matches: float, th_min: float):
         """Post-retry healthy drift (≙ the tail adjustments of reference
-        .cpp:271-314): below 1.2x the minimum, pull FAST down by 5 (soft
-        zone, no re-process); a healthy frame drifts FAST back toward its
-        configured baseline and resets the ORB threshold. Same
-        single-source rationale as :meth:`retry_step`."""
+        .cpp:298-314): below 1.2x the minimum (soft zone, no re-process)
+        pull FAST down by 5, or — when FAST already sits on its floor —
+        raise the ORB matching threshold by 5 (reference .cpp:301-306); a
+        healthy frame drifts FAST back toward its configured baseline
+        ``min(detect_fast_th, fast+5)`` (.cpp:310) and resets the ORB
+        threshold. Same single-source rationale as :meth:`retry_step`."""
         if n_matches < 1.2 * th_min:
-            self.set_fast_threshold(self.fast_th - 5)
+            if not self.is_fast_th_min():
+                self.set_fast_threshold(self.fast_th - 5)
+            elif not self.is_orb_th_max():
+                self.set_orb_threshold(self.orb_th + 5)
         else:
-            if self.fast_th < self.fast_th_max:
-                self.set_fast_threshold(self.fast_th + 5)
+            self.set_fast_threshold(min(self.fast_th_max, self.fast_th + 5))
             self.reset_orb_threshold()
 
     # --- main per-frame entry (≙ processNewImagePair) ---------------------

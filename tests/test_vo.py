@@ -137,11 +137,24 @@ def test_adaptive_threshold_protocol_rules():
     # both exhausted: no further move
     assert not eng.retry_step()
 
-    # drift, soft zone: FAST down 5 (clipped at the floor), ORB untouched
+    # drift, soft zone with FAST above its floor: FAST down 5, ORB untouched
+    eng.set_fast_threshold(eng.fast_th_min + 8)
+    eng.set_orb_threshold(eng.orb_th_max - 20)
     orb_before = eng.orb_th
     eng.drift_thresholds(n_matches=100, th_min=100)  # 100 < 1.2*100
-    assert eng.fast_th == eng.fast_th_min  # already at floor: clipped
+    assert eng.fast_th == eng.fast_th_min + 3
     assert eng.orb_th == orb_before
+    # drift, soft zone with FAST on its floor: ORB rises by 5 instead
+    # (reference .cpp:301-306 elif branch)
+    eng.set_fast_threshold(eng.fast_th_min)
+    eng.drift_thresholds(n_matches=100, th_min=100)
+    assert eng.fast_th == eng.fast_th_min
+    assert eng.orb_th == orb_before + 5
+    # soft zone with BOTH exhausted: no move at all
+    eng.set_orb_threshold(eng.orb_th_max)
+    eng.drift_thresholds(n_matches=100, th_min=100)
+    assert eng.fast_th == eng.fast_th_min
+    assert eng.orb_th == eng.orb_th_max
     # drift, healthy: FAST +5 toward baseline, ORB resets to its config
     eng.set_fast_threshold(eng.fast_th_max - 7)
     eng.drift_thresholds(n_matches=130, th_min=100)  # >= 1.2*100
@@ -149,5 +162,11 @@ def test_adaptive_threshold_protocol_rules():
     assert eng.orb_th == float(eng.opts.orb_max_distance)
     # healthy at baseline: FAST holds (no overshoot past the configured max)
     eng.set_fast_threshold(eng.fast_th_max)
+    eng.drift_thresholds(n_matches=130, th_min=100)
+    assert eng.fast_th == eng.fast_th_max
+    # healthy with a MISALIGNED FAST value 2 below the max: the +5 step is
+    # clamped to the configured baseline, not allowed to overshoot and stick
+    # (reference .cpp:310 uses min(detect_fast_th, fast+5))
+    eng.set_fast_threshold(eng.fast_th_max - 2)
     eng.drift_thresholds(n_matches=130, th_min=100)
     assert eng.fast_th == eng.fast_th_max
