@@ -28,9 +28,12 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=0, metavar="B",
                     help="frames per device dispatch (0 = auto: 8 on TPU, "
                          "per-frame on CPU)")
-    ap.add_argument("--gt", default="", metavar="FILE",
-                    help="ground-truth trajectory (out_kf_poses.txt format "
-                         "or Nx3 xyz) to report ATE RMSE against")
+    ap.add_argument("--gt", "--eval", dest="gt", default="", metavar="FILE",
+                    help="ground-truth trajectory (KITTI poses.txt, "
+                         "out_kf_poses.txt format, or Nx3 xyz) to report "
+                         "ATE RMSE against after the run; to evaluate an "
+                         "EXISTING trajectory without re-running, use "
+                         "python -m srba_slam_tpu.utils.evaluation")
     ap.add_argument("--fleet", type=int, default=0, metavar="S",
                     help="with --synthetic: run S independent sequences in "
                          "lockstep, sharded over the device mesh "
@@ -181,20 +184,9 @@ def main(argv=None):
     if args.gt:
         import numpy as np
 
-        from srba_slam_tpu.utils.evaluation import ate_rmse
+        from srba_slam_tpu.utils.evaluation import ate_rmse, load_gt
 
-        gt = np.atleast_2d(np.loadtxt(args.gt))
-        if gt.shape[1] == 12:
-            # KITTI poses.txt: flattened 3x4 [R|t]; translation at 3, 7, 11
-            gt_xyz = gt[:, (3, 7, 11)]
-            per_frame = True
-        elif gt.shape[1] == 7:
-            # our out_kf_poses.txt: kf x y z yaw pitch roll (keyframe-indexed)
-            gt_xyz = gt[:, 1:4]
-            per_frame = False
-        else:
-            gt_xyz = gt[:, :3]
-            per_frame = True
+        gt_xyz, per_frame = load_gt(args.gt)
         if per_frame:
             # associate each KEYFRAME with the ground-truth row of the frame
             # it was inserted at

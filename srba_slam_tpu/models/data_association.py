@@ -62,6 +62,11 @@ class DAResult(NamedTuple):
     pose: jax.Array           # f32 [S, 6] candidate-KF -> current-KF transform
     pose_valid: jax.Array     # bool [S]
     mean_residual: jax.Array  # f32 [S]
+    # debug-artifact inputs (intermediates the cascade computes anyway;
+    # they cross the link only when the check blob is packed with debug=True)
+    raw_oidx: jax.Array       # int32 [S, K] PRE-filter Hamming argmin
+    distance: jax.Array       # f32 [S, K] raw match distance (_BIG if none)
+    residuals: jax.Array      # f32 [S, K] filter-4 change-in-pose residuals
 
 
 def _horn_seed(p_oth: jax.Array, p_cur: jax.Array, w0: jax.Array,
@@ -207,6 +212,7 @@ def _da_single(
     pose = jnp.zeros((6,), jnp.float32)
     pose_ok = jnp.asarray(False)
     mean_res = jnp.asarray(0.0, jnp.float32)
+    residuals = jnp.zeros((k,), jnp.float32)
     if use_change_pose:
         ur = cur.xs_r[cur.m_r_idx].astype(jnp.float32)
         obs = jnp.stack(
@@ -229,6 +235,7 @@ def _da_single(
             min_inliers=min_alive,
         )
         pose, pose_ok, mean_res = sol.pose, sol.valid, sol.mean_residual
+        residuals = sol.residuals
         ok = jnp.where(pose_ok, sol.inliers, jnp.zeros_like(keep))
         # depth-consistency gate (robustness beyond the reference cascade):
         # the pixel residual barely constrains DEPTH at range — a 1 m depth
@@ -251,7 +258,8 @@ def _da_single(
 
     tracked = jnp.sum(keep.astype(jnp.int32))
     status = jnp.where(keep, S_TRACKED, status).astype(jnp.int8)
-    return status, jnp.where(keep, oidx, 0), tracked, pose, pose_ok, mean_res
+    return (status, jnp.where(keep, oidx, 0), tracked, pose, pose_ok,
+            mean_res, oidx, bd, residuals)
 
 
 @functools.partial(
@@ -327,7 +335,7 @@ def query_and_associate(
 @functools.partial(
     jax.jit,
     static_argnames=("filter_by_direction", "use_fund_matrix", "use_change_pose",
-                     "n_query", "ransac_n_hyp"),
+                     "n_query", "ransac_n_hyp", "debug"),
     donate_argnums=(1, 2),
 )
 def fused_check_write(
@@ -349,6 +357,7 @@ def fused_check_write(
     use_change_pose: bool = True,
     kernel_param: float = 2.0,
     ransac_n_hyp: int = 128,
+    debug: bool = False,
 ):
     """ONE dispatch for a whole deferred keyframe check: slice frame j out
     of the scanned batch, SPECULATIVELY write its keyframe-store and BoW
@@ -365,7 +374,8 @@ def fused_check_write(
         feats, store_arrays, db, leaf_bits, weights, j, n_kfs,
         cam, key, n_query, max_orb_distance_da,
         residual_th, max_y_diff_epipolar, filter_by_direction,
-        use_fund_matrix, use_change_pose, kernel_param, ransac_n_hyp)
+        use_fund_matrix, use_change_pose, kernel_param, ransac_n_hyp,
+        debug=debug)
     return (blob,), new_arrays, new_db
 
 
@@ -373,7 +383,7 @@ def _check_one_slot(feats, store_arrays, db, leaf_bits, weights, j, row,
                     cam, key, n_query, max_orb_distance_da,
                     residual_th, max_y_diff_epipolar, filter_by_direction,
                     use_fund_matrix, use_change_pose, kernel_param,
-                    ransac_n_hyp):
+                    ransac_n_hyp, debug=False):
     """One deferred check: speculative row write + BoW query + DA cascade +
     output packing. Callers handle padding themselves — the batch program
     skips invalid slots entirely via ``lax.cond``."""
@@ -411,7 +421,7 @@ def _check_one_slot(feats, store_arrays, db, leaf_bits, weights, j, row,
         kernel_param=kernel_param,
         ransac_n_hyp=ransac_n_hyp,
     )
-    (blob,) = pack_check_outputs(top_s, top_i, da, frame)
+    (blob,) = pack_check_outputs(top_s, top_i, da, frame, debug=debug)
     return blob, new_arrays, new_db
 
 
@@ -423,7 +433,7 @@ CHECK_SLOTS = 8  # fixed slot count: ONE compiled program regardless of how
 @functools.partial(
     jax.jit,
     static_argnames=("filter_by_direction", "use_fund_matrix",
-                     "use_change_pose", "n_query", "ransac_n_hyp"),
+                     "use_change_pose", "n_query", "ransac_n_hyp", "debug"),
     donate_argnums=(1, 2),
 )
 def fused_checks_batch(
@@ -451,6 +461,7 @@ def fused_checks_batch(
     use_change_pose: bool = True,
     kernel_param: float = 2.0,
     ransac_n_hyp: int = 128,
+    debug: bool = False,
 ):
     """ALL of a batch's deferred keyframe checks in ONE dispatch.
 
@@ -477,7 +488,8 @@ def fused_checks_batch(
                 feats, arrays, db_, leaf_bits, weights, j, row,
                 cam, key, n_query, max_orb_distance_da,
                 residual_th, max_y_diff_epipolar, filter_by_direction,
-                use_fund_matrix, use_change_pose, kernel_param, ransac_n_hyp)
+                use_fund_matrix, use_change_pose, kernel_param, ransac_n_hyp,
+                debug=debug)
 
         blob_len = jax.eval_shape(run, None)[0].shape[0]
 
@@ -499,16 +511,23 @@ def fused_checks_batch(
     return tuple(blobs), new_arrays, new_db
 
 
-def pack_check_outputs(top_s, top_i, da: DAResult, frame) -> tuple:
+def pack_check_outputs(top_s, top_i, da: DAResult, frame,
+                       debug: bool = False) -> tuple:
     """Pack a check's 11 output arrays into ONE device blob (int32). The
     tunneled runtime pays a per-ARRAY overhead (~1.5-2 ms) on every pulled
     buffer, and bulk pulls of >8 arrays cost extra round trips — a batch's
     pull used to fetch ~80 small arrays and spend >100 ms on that alone.
     Float outputs ride along bitcast to int32 (f32 -> i32 is bijective and
     integer transfer is exact — no NaN-canonicalization hazard). Host side:
-    unpack_check_outputs."""
-    floats = jnp.concatenate([top_s, frame.pts3d.ravel()])
-    blob = jnp.concatenate([
+    unpack_check_outputs.
+
+    ``debug=True`` appends the debug-artifact section (raw pre-filter match
+    indices + Hamming distances + filter-4 residuals), the inputs of the
+    reference's ``if_raw_match*`` / ``if_match_after*`` / ``da_dist*`` /
+    ``posechange_outliers*`` golden files (reference .cpp:1455-1473,
+    :1649-1721, :566-616, :2236-2251)."""
+    floats = [top_s, frame.pts3d.ravel()]
+    ints = [
         top_i.astype(jnp.int32),                 # [nq]
         da.status.astype(jnp.int32).ravel(),     # [S*K]
         da.other_idx.ravel(),                    # [S*K]
@@ -516,15 +535,21 @@ def pack_check_outputs(top_s, top_i, da: DAResult, frame) -> tuple:
         frame.m_valid.astype(jnp.int32),         # [K]
         frame.xs_l, frame.ys_l, frame.xs_r,      # 3x [K]
         frame.m_r_idx,                           # [K]
-        jax.lax.bitcast_convert_type(floats, jnp.int32),
-    ])
+    ]
+    if debug:
+        # Hamming distances are integral (and _BIG fits int32): exact as i32
+        ints += [da.raw_oidx.ravel(), da.distance.astype(jnp.int32).ravel()]
+        floats += [da.residuals.ravel()]
+    blob = jnp.concatenate(
+        ints + [jax.lax.bitcast_convert_type(jnp.concatenate(floats),
+                                             jnp.int32)])
     return (blob,)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("filter_by_direction", "use_fund_matrix", "use_change_pose",
-                     "n_query", "ransac_n_hyp"),
+                     "n_query", "ransac_n_hyp", "debug"),
 )
 def query_and_associate_packed(
     cur: FrameFeatures, store_arrays: KFArrays, db, leaf_bits, weights,
@@ -533,7 +558,7 @@ def query_and_associate_packed(
     residual_th: float = 30.0, max_y_diff_epipolar: float = 2.0,
     filter_by_direction: bool = True, use_fund_matrix: bool = True,
     use_change_pose: bool = True, kernel_param: float = 2.0,
-    ransac_n_hyp: int = 128,
+    ransac_n_hyp: int = 128, debug: bool = False,
 ):
     """query_and_associate with blob-packed outputs (synchronous-check path
     companion of fused_check_write)."""
@@ -545,13 +570,16 @@ def query_and_associate_packed(
         use_fund_matrix=use_fund_matrix, use_change_pose=use_change_pose,
         kernel_param=kernel_param, ransac_n_hyp=ransac_n_hyp,
     )
-    return pack_check_outputs(top_s, top_i, da, cur)
+    return pack_check_outputs(top_s, top_i, da, cur, debug=debug)
 
 
-def unpack_check_outputs(blob, s: int, k: int, nq: int) -> tuple:
+def unpack_check_outputs(blob, s: int, k: int, nq: int,
+                         debug: bool = False) -> tuple:
     """Inverse of pack_check_outputs on the HOST numpy blob; returns the
     11-tuple (scores, ids, status, other_idx, tracked, m_valid, xs_l, ys_l,
-    xs_r, m_r_idx, pts3d) the estimator's decision logic consumes."""
+    xs_r, m_r_idx, pts3d) the estimator's decision logic consumes — with
+    ``debug=True``, a 12th element: the debug-extras dict
+    {raw_oidx [S,K], distance [S,K], residuals [S,K]}."""
     import numpy as np
 
     o = 0
@@ -564,11 +592,22 @@ def unpack_check_outputs(blob, s: int, k: int, nq: int) -> tuple:
     ys_l = blob[o:o + k]; o += k
     xs_r = blob[o:o + k]; o += k
     m_r_idx = blob[o:o + k]; o += k
+    extras = None
+    if debug:
+        raw_oidx = blob[o:o + s * k].reshape(s, k); o += s * k
+        distance = blob[o:o + s * k].reshape(s, k).astype(np.float32)
+        o += s * k
     floats = np.ascontiguousarray(blob[o:]).view(np.float32)
     top_s = floats[:nq]
     pts3d = floats[nq:nq + 3 * k].reshape(k, 3)
-    return (top_s, top_i, status, other_idx, tracked, m_valid, xs_l, ys_l,
-            xs_r, m_r_idx, pts3d)
+    out = (top_s, top_i, status, other_idx, tracked, m_valid, xs_l, ys_l,
+           xs_r, m_r_idx, pts3d)
+    if debug:
+        residuals = floats[nq + 3 * k:nq + 3 * k + s * k].reshape(s, k)
+        extras = dict(raw_oidx=raw_oidx, distance=distance,
+                      residuals=residuals)
+        out = out + (extras,)
+    return out
 
 
 @functools.partial(
@@ -609,8 +648,8 @@ def da_cascade(
             ransac_n_hyp=ransac_n_hyp,
         )
 
-    status, oidx, tracked, pose, pose_ok, mean_res = jax.vmap(one)(
-        tuple(others), others_valid, init_poses, keys
-    )
+    (status, oidx, tracked, pose, pose_ok, mean_res, raw_oidx, bd,
+     residuals) = jax.vmap(one)(tuple(others), others_valid, init_poses, keys)
     tracked = jnp.where(others_valid, tracked, 0)
-    return DAResult(status, oidx, tracked, pose, pose_ok & others_valid, mean_res)
+    return DAResult(status, oidx, tracked, pose, pose_ok & others_valid,
+                    mean_res, raw_oidx, bd, residuals)

@@ -844,6 +844,7 @@ class SRBAStereoSLAMEstimator:
                     use_change_pose=m in (2, 3),
                     kernel_param=self.vo_opts.kernel_param,
                     ransac_n_hyp=self._ransac_n_hyp,
+                    debug=self.debug.enabled,
                 )
             self.store.arrays = new_arrays
             self.bow._db = new_db
@@ -1158,6 +1159,7 @@ class SRBAStereoSLAMEstimator:
                 use_change_pose=m in (2, 3),
                 kernel_param=self.vo_opts.kernel_param,
                 ransac_n_hyp=self._ransac_n_hyp,
+                debug=self.debug.enabled,
             )
         return handles
 
@@ -1188,13 +1190,18 @@ class SRBAStereoSLAMEstimator:
         (query_log, debug dumps, res.best_tracked); threshold side effects
         are returned in the dict and applied by the caller — so the decision
         can be replayed exactly when a speculative check resolves late."""
+        extras = None
         if len(pulled) == 1:  # blob-packed (the only dispatch format now)
             from srba_slam_tpu.models.data_association import (
                 unpack_check_outputs,
             )
 
             pulled = unpack_check_outputs(
-                pulled[0], s=MAX_SIMILAR, k=self.capacity, nq=4)
+                pulled[0], s=MAX_SIMILAR, k=self.capacity, nq=4,
+                debug=self.debug.enabled)
+        if len(pulled) == 12:
+            extras = pulled[11]
+            pulled = pulled[:11]
         (scores, ids, da_status_all, da_oidx_all, tracked_all, f_m_valid,
          f_xs_l, f_ys_l, f_xs_r, f_m_r, f_pts) = pulled
         self.query_log.append((res.frame_idx, np.asarray(scores).copy(),
@@ -1220,6 +1227,11 @@ class SRBAStereoSLAMEstimator:
         tracked = tracked_all[positions]
         self.debug.dump_da_host(self.store.n_kfs, similar, da_status, da_oidx,
                                 tracked)
+        da_dists = None
+        if extras is not None:
+            da_dists = extras["distance"][positions]
+            self._dump_match_artifacts(similar, da_status, extras, positions,
+                                       f_m_valid, f_xs_l, f_ys_l)
         order = np.argsort(-tracked)  # ≙ DATrackedSorter ranking
         best = int(tracked[order[0]]) if len(order) else 0
         res.best_tracked = best
@@ -1258,8 +1270,38 @@ class SRBAStereoSLAMEstimator:
             da_status=da_status, da_oidx=da_oidx, lc_confirmed=lc_confirmed,
             f_m_valid=f_m_valid, f_xs_l=f_xs_l, f_ys_l=f_ys_l, f_xs_r=f_xs_r,
             f_m_r=f_m_r, f_pts=f_pts, new_tr_th=new_tr_th,
-            new_rot_th=new_rot_th,
+            new_rot_th=new_rot_th, da_dists=da_dists,
         )
+
+    def _dump_match_artifacts(self, similar, da_status, extras, positions,
+                              m_valid, xs_l, ys_l):
+        """Write the per-candidate match golden files the reference's
+        ``debug=true`` mode produces: ``if_raw_match*`` (pre-filter matches,
+        reference .cpp:1455-1473), ``if_match_after*`` (post-cascade status
+        per match, .cpp:1649-1721) and ``posechange_outliers*`` (filter-4
+        residual outliers, .cpp:2236-2251 — one file per new KF, the last
+        cascade call's content surviving, as in the reference)."""
+        kf_id = self.store.n_kfs
+        raw_oidx = extras["raw_oidx"][positions]
+        distance = extras["distance"][positions]
+        residuals = extras["residuals"][positions]
+        # other-KF left-keypoint coordinates, one bulk device read (debug
+        # mode only — the hot path never pulls store rows)
+        sim = np.asarray(similar)
+        oth_x, oth_y = jax.device_get((self.store.arrays.xs_l[sim],
+                                       self.store.arrays.ys_l[sim]))
+        for s, other_kf in enumerate(similar):
+            self.debug.dump_if_raw_match(
+                kf_id, other_kf, xs_l, ys_l, oth_x[s], oth_y[s],
+                raw_oidx[s], distance[s], m_valid)
+            self.debug.dump_if_match_after(
+                kf_id, other_kf, da_status[s], xs_l, ys_l, oth_x[s],
+                oth_y[s], raw_oidx[s], distance[s], m_valid)
+        if len(similar):
+            s = len(similar) - 1
+            sel = np.nonzero(m_valid & (distance[s] < 1e8)
+                             & (residuals[s] > self.opts.residual_th))[0]
+            self.debug.dump_posechange_outliers(kf_id, sel, residuals[s][sel])
 
     def _apply_no_insert(self, d: dict):
         """Threshold shrink of the no-insert branch (≙ .cpp:525-541)."""
@@ -1281,7 +1323,7 @@ class SRBAStereoSLAMEstimator:
         t0 = _time.perf_counter()
         ids, n_new, n_common = self._propagate_ids(
             d["f_m_valid"], d["da_status"], d["da_oidx"], d["similar"],
-            d["order"])
+            d["order"], dists=d.get("da_dists"))
         obs = self._build_obs_host(d["f_m_valid"], d["f_xs_l"], d["f_ys_l"],
                                    d["f_xs_r"], d["f_m_r"], d["f_pts"], ids)
         if d["lc_confirmed"] is not None:
@@ -1416,16 +1458,21 @@ class SRBAStereoSLAMEstimator:
                         similar.append(i)
         return similar, lc_candidate
 
-    def _propagate_ids(self, m_valid, status, oidx, similar, order):
+    def _propagate_ids(self, m_valid, status, oidx, similar, order,
+                       dists=None):
         """Feature-ID propagation (≙ .cpp:571-617): per stereo match, the
         first tracked hit across ranked similar KFs reuses that KF's match
         ID (duplicate guard); everything else gets a fresh ID. All inputs are
         host arrays; per-rank work is vectorized (feature loops here used to
-        dominate insertion host time)."""
+        dominate insertion host time). With ``dists`` (debug mode: per-rank
+        raw match distances), writes the ``da_dist_kf*`` golden file — the
+        winning tracked match's distance per slot, 0.00 for new features
+        (≙ reference .cpp:566-616)."""
         k = self.capacity
         ids = np.full(k, -1, np.int64)
         used = np.zeros(0, np.int64)
         n_common = 0
+        win_dist = np.zeros(k, np.float32)
         for rank in order:
             if rank >= len(similar):
                 continue
@@ -1442,12 +1489,16 @@ class SRBAStereoSLAMEstimator:
             _uniq, first = np.unique(cand, return_index=True)
             sel, cand = sel[first], cand[first]
             ids[sel] = cand
+            if dists is not None:
+                win_dist[sel] = dists[int(rank), sel]
             used = np.concatenate([used, cand])
             n_common += len(sel)
         fresh = m_valid & (ids < 0)
         n_new = int(fresh.sum())
         ids[fresh] = np.arange(self.next_match_id, self.next_match_id + n_new)
         self.next_match_id += n_new
+        if dists is not None:
+            self.debug.dump_da_dist(self.store.n_kfs, win_dist[m_valid])
         return ids, n_new, n_common
 
     def _mint_fresh_ids(self, m_valid: np.ndarray) -> np.ndarray:
@@ -1556,6 +1607,15 @@ class SRBAStereoSLAMEstimator:
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
             self.save_trajectory(os.path.join(out_dir, "out_kf_poses.txt"))
+            # sidecar kf-id -> frame-index map: lets the standalone ATE tool
+            # (python -m srba_slam_tpu.utils.evaluation) associate keyframes
+            # with rows of a PER-FRAME ground truth (e.g. KITTI poses.txt)
+            # without re-running SLAM — framework extension; the reference
+            # only emits out_kf_poses.txt (.cpp:977-987)
+            with open(os.path.join(out_dir, "kf_frames.txt"), "w") as f:
+                for r in self.step_log:
+                    if r.inserted_kf is not None:
+                        f.write(f"{r.inserted_kf} {r.frame_idx}\n")
             self.save_kf_stats(os.path.join(out_dir, "time_new_kf.txt"))
             self.profiler.save_csv(os.path.join(out_dir, "profiler.csv"))
             self.rba.save_graph_as_dot(os.path.join(out_dir, "final_graph.dot"))

@@ -116,6 +116,7 @@ class SRBAEngine:
         self._edge_cap = 64
         self._edge_u = np.zeros(self._edge_cap, np.int32)
         self._edge_v = np.zeros(self._edge_cap, np.int32)
+        self._edge_kind = np.zeros(self._edge_cap, np.int8)
         self._edge_pose = np.zeros((self._edge_cap, 6), np.float64)
         self.n_edges = 0
         self.adj: dict[int, list[tuple[int, int]]] = {}  # kf -> [(nbr, edge)]
@@ -163,7 +164,13 @@ class SRBAEngine:
         self._initial_rel_pose = np.asarray(rel_pose, np.float64)
 
     # ------------------------------------------------------------ graph utils
-    def _add_edge(self, u: int, v: int, pose_uv: np.ndarray) -> int:
+    def _add_edge(self, u: int, v: int, pose_uv: np.ndarray,
+                  kind: int = 0) -> int:
+        """``kind``: 0 = mid-submap edge to the localmap center, 1 = submap
+        base's top-voted area edge, 2 = loop-closure edge (topo-distance
+        gated extra edge or the estimator-confirmed LC) — recorded for the
+        annotated graph exports (≙ the diagnostic value of the reference's
+        SRBA dot/graph exports, .cpp:801, :1094-1095)."""
         e = self.n_edges
         if e == self._edge_cap:
             self._edge_cap *= 2
@@ -173,9 +180,12 @@ class SRBAEngine:
                 [self._edge_v, np.zeros_like(self._edge_v)])
             self._edge_pose = np.concatenate(
                 [self._edge_pose, np.zeros_like(self._edge_pose)])
+            self._edge_kind = np.concatenate(
+                [self._edge_kind, np.zeros_like(self._edge_kind)])
         self._edge_u[e] = u
         self._edge_v[e] = v
         self._edge_pose[e] = np.asarray(pose_uv, np.float64)
+        self._edge_kind[e] = kind
         self.adj.setdefault(u, []).append((v, e))
         self.adj.setdefault(v, []).append((u, e))
         self.n_edges += 1
@@ -321,7 +331,8 @@ class SRBAEngine:
         if not is_base:
             # mid-submap: single edge to the current localmap center
             self.localmap_center[kf] = cur_center
-            created.append(self._add_edge(cur_center, kf, seed(cur_center, kf)))
+            created.append(self._add_edge(cur_center, kf, seed(cur_center, kf),
+                                          kind=0))
         else:
             # new submap base: vote observations per existing localmap
             # center. Only landmarks with an EXISTING base keyframe vote —
@@ -348,8 +359,16 @@ class SRBAEngine:
             # can be a far loop-closure target, where a drift-consistent
             # seed would hide the loop
             top_center = ranked[0][0]
+            # annotation: the top-voted edge IS the loop-closure edge when
+            # it lands on the estimator-confirmed LC target's area
+            lc_target = (int(self.localmap_center[self._lc_old_id])
+                         if self._lc_detected and self._lc_old_id is not None
+                         else None)
+            if lc_target is not None and lc_target < 0:
+                lc_target = self._lc_old_id
             created.append(
-                self._add_edge(top_center, kf, lc_seed(top_center, kf)))
+                self._add_edge(top_center, kf, lc_seed(top_center, kf),
+                               kind=2 if top_center == lc_target else 1))
             # extra edges: far-away well-supported areas => loop-closure edges
             for center, n in ranked[1:]:
                 if n < p.min_obs_to_loop_closure:
@@ -357,7 +376,8 @@ class SRBAEngine:
                 if self.topo_distance(kf, center, p.max_optimize_depth + 1) \
                         >= p.max_optimize_depth:
                     created.append(
-                        self._add_edge(center, kf, lc_seed(center, kf)))
+                        self._add_edge(center, kf, lc_seed(center, kf),
+                                       kind=2))
         # explicit LC edge requested by the estimator's confirmation stage
         if self._lc_detected and self._lc_old_id is not None:
             target = int(self.localmap_center[self._lc_old_id])
@@ -366,7 +386,8 @@ class SRBAEngine:
             have = {int(self._edge_u[e]) for e in created} | \
                    {int(self._edge_v[e]) for e in created}
             if target not in have and target != kf:
-                created.append(self._add_edge(target, kf, lc_seed(target, kf)))
+                created.append(
+                    self._add_edge(target, kf, lc_seed(target, kf), kind=2))
         self._lc_detected = False
         self._lc_old_id = None
         return created
@@ -708,11 +729,30 @@ class SRBAEngine:
         )
 
     def save_graph_as_dot(self, path: str):
-        """≙ save_graph_as_dot (reference .cpp:801, 1094-1095)."""
+        """≙ save_graph_as_dot (reference .cpp:801, 1094-1095): annotated
+        like the reference's SRBA exports — nodes carry their current
+        global pose estimate (submap-center nodes doubled), edges carry
+        their relative pose seed and type (solid = submap/base edges,
+        bold red = loop-closure edges)."""
+        kinds = {0: "submap", 1: "base", 2: "lc"}
         with open(path, "w") as f:
             f.write("graph srba {\n")
+            f.write("  node [shape=circle fontsize=9];\n")
+            for k in range(self.n_kfs):
+                p = self.kf_global[k]
+                shape = ("doublecircle"
+                         if int(self.localmap_center[k]) == k else "circle")
+                f.write(
+                    f'  {k} [shape={shape} label="{k}" '
+                    f'pose="{p[3]:.3f} {p[4]:.3f} {p[5]:.3f}"];\n')
             for e in range(self.n_edges):
-                f.write(f"  {self._edge_u[e]} -- {self._edge_v[e]};\n")
+                kind = kinds.get(int(self._edge_kind[e]), "submap")
+                rel = self._edge_pose[e]
+                style = (' color=red penwidth=2' if kind == "lc" else "")
+                f.write(
+                    f"  {self._edge_u[e]} -- {self._edge_v[e]} "
+                    f'[kind="{kind}"{style} '
+                    f'rel="{rel[3]:.3f} {rel[4]:.3f} {rel[5]:.3f}"];\n')
             f.write("}\n")
 
     # ------------------------------------------------------------ accessors

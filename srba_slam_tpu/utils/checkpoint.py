@@ -60,6 +60,7 @@ def save_state(est, path: str):
         rba_edge_u=rba.edge_u[: rba.n_edges].astype(np.int32),
         rba_edge_v=rba.edge_v[: rba.n_edges].astype(np.int32),
         rba_edge_pose=rba.edge_pose[: rba.n_edges].reshape(-1, 6),
+        rba_edge_kind=rba._edge_kind[: rba.n_edges].astype(np.int8),
         rba_kf_global=rba.kf_global,
         rba_lm_base=rba.lm_base[: rba.n_lms].astype(np.int32),
         rba_lm_pos=rba.lm_pos[: rba.n_lms].reshape(-1, 3),
@@ -104,9 +105,12 @@ def load_state(est, path: str):
     rba._edge_u = np.zeros(rba._edge_cap, np.int32)
     rba._edge_v = np.zeros(rba._edge_cap, np.int32)
     rba._edge_pose = np.zeros((rba._edge_cap, 6), np.float64)
+    rba._edge_kind = np.zeros(rba._edge_cap, np.int8)
     rba._edge_u[:n_edges] = data["rba_edge_u"]
     rba._edge_v[:n_edges] = data["rba_edge_v"]
     rba._edge_pose[:n_edges] = data["rba_edge_pose"]
+    if "rba_edge_kind" in data:  # absent in older checkpoints
+        rba._edge_kind[:n_edges] = data["rba_edge_kind"]
     rba.n_edges = n_edges
     rba.adj = {}
     for e in range(n_edges):

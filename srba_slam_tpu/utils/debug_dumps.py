@@ -63,6 +63,66 @@ class DebugDumper:
                 for i in np.nonzero(status[s] != 1)[0]:
                     f.write(f"{other_kf} {i} {oidx[s, i]} {status[s, i]}\n")
 
+    def dump_if_raw_match(self, this_id: int, other_id: int,
+                          this_x, this_y, oth_x, oth_y,
+                          raw_oidx, distance, m_valid, big: float = 1e8):
+        """≙ ``if_raw_match_kf%04d_with_kf%04d.txt`` (reference
+        .cpp:1455-1473): one row per raw brute-force Hamming match, BEFORE
+        the filter cascade — other-KF left px, this-KF left px, distance."""
+        if not self.enabled:
+            return
+        name = f"if_raw_match_kf{this_id:04d}_with_kf{other_id:04d}.txt"
+        with open(self._path(name), "w") as f:
+            f.write("% OTHER_LX OTHER_LY THIS_LX THIS_LY DISTANCE\n")
+            for i in np.nonzero(m_valid & (distance < big))[0]:
+                o = int(raw_oidx[i])
+                f.write(f"{oth_x[o]:.2f} {oth_y[o]:.2f} "
+                        f"{this_x[i]:.2f} {this_y[i]:.2f} "
+                        f"{distance[i]:.2f}\n")
+
+    def dump_if_match_after(self, this_id: int, other_id: int, status,
+                            this_x, this_y, oth_x, oth_y,
+                            raw_oidx, distance, m_valid, big: float = 1e8):
+        """≙ ``if_match_after_kf%04d_with_kf%04d.txt`` (reference
+        .cpp:1649-1721): per raw match, the post-cascade STATUS (reference
+        enum values — sTRACKED=0 .. sREJ_CONSISTENCY=6) plus this/other
+        left px and the match distance."""
+        if not self.enabled:
+            return
+        name = f"if_match_after_kf{this_id:04d}_with_kf{other_id:04d}.txt"
+        with open(self._path(name), "w") as f:
+            f.write("%STATUS THIS_LU THIS_LV OTHER_LU OTHER_LV DISTANCE\n")
+            for i in np.nonzero(m_valid & (distance < big))[0]:
+                o = int(raw_oidx[i])
+                f.write(f"{int(status[i])} {this_x[i]:.2f} {this_y[i]:.2f} "
+                        f"{oth_x[o]:.2f} {oth_y[o]:.2f} "
+                        f"{distance[i]:.2f}\n")
+
+    def dump_da_dist(self, kf_id: int, dists: np.ndarray):
+        """≙ ``da_dist_kf%04d.txt`` (reference .cpp:566-616): during
+        feature-ID propagation, one row per stereo match of the new KF —
+        the winning tracked match's distance, or 0.00 for a new feature
+        (the reference writes tracked rows with ``%2.f`` and new rows as
+        literal ``0.00``; both are written here as %.2f)."""
+        if not self.enabled:
+            return
+        with open(self._path(f"da_dist_kf{kf_id:04d}.txt"), "w") as f:
+            for v in dists:
+                f.write(f"{v:.2f}\n")
+
+    def dump_posechange_outliers(self, kf_id: int, idxs, residuals):
+        """≙ ``posechange_outliers_kf%04d.txt`` (reference .cpp:2236-2251):
+        per change-in-pose outlier (residual > residual_th), the this-KF
+        match index and its residual. The reference writes the file once
+        per similar-KF cascade call (last candidate's file survives);
+        callers here pass the same last-candidate rows."""
+        if not self.enabled:
+            return
+        with open(self._path(f"posechange_outliers_kf{kf_id:04d}.txt"),
+                  "w") as f:
+            for i, r in zip(idxs, residuals):
+                f.write(f"{int(i)} {r:.2f}\n")
+
     def dump_loop_closure(self, kf_id: int, lc_with: int, tracked: int):
         """≙ loop_closure_info_*.txt."""
         if not self.enabled:

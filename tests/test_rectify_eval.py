@@ -68,6 +68,53 @@ def test_load_kf_poses_roundtrip(tmp_path):
     np.testing.assert_array_equal(xyz, [[1, 2, 3], [4, 5, 6]])
 
 
+def test_evaluate_files_kitti_gt(tmp_path):
+    """The standalone ATE tool (python -m srba_slam_tpu.utils.evaluation):
+    out_kf_poses.txt + kf_frames.txt sidecar vs a per-frame KITTI-format
+    poses.txt — the one-command ATE check of BASELINE.json's criterion."""
+    from srba_slam_tpu.utils.evaluation import evaluate_files, main
+
+    rng = np.random.default_rng(3)
+    n_frames, kf_frames = 40, [0, 5, 11, 18, 26, 33, 39]
+    gt = np.cumsum(rng.normal(0, 0.3, (n_frames, 3)), axis=0)
+    # KITTI poses.txt: flattened 3x4 [R|t] per frame (identity rotations)
+    kitti = np.zeros((n_frames, 12))
+    kitti[:, 0] = kitti[:, 5] = kitti[:, 10] = 1.0
+    kitti[:, (3, 7, 11)] = gt
+    np.savetxt(tmp_path / "poses.txt", kitti)
+    # estimated trajectory = gt at the KF frames under a rigid transform
+    R, _ = se3_np.exp(np.array([0.05, -0.1, 0.2, 0, 0, 0]))
+    est_xyz = gt[kf_frames] @ R.T + np.array([2.0, 1.0, -3.0])
+    with open(tmp_path / "out_kf_poses.txt", "w") as f:
+        for i, p in enumerate(est_xyz):
+            f.write(f"{i} {p[0]} {p[1]} {p[2]} 0 0 0\n")
+    with open(tmp_path / "kf_frames.txt", "w") as f:
+        for i, fr in enumerate(kf_frames):
+            f.write(f"{i} {fr}\n")
+    out = evaluate_files(str(tmp_path / "out_kf_poses.txt"),
+                         str(tmp_path / "poses.txt"))  # sidecar auto-found
+    assert out["n"] == len(kf_frames)
+    assert out["ate_rmse"] < 1e-6  # rigid transform aligns out exactly
+    # CLI entry prints one JSON line
+    import contextlib
+    import io
+    import json
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main([str(tmp_path / "out_kf_poses.txt"),
+                     str(tmp_path / "poses.txt")]) == 0
+    rec = json.loads(buf.getvalue())
+    assert rec["n_poses"] == len(kf_frames)
+    # keyframe-indexed (7-column) ground truth needs no sidecar
+    np.savetxt(tmp_path / "gt7.txt",
+               np.hstack([np.arange(len(est_xyz))[:, None], est_xyz,
+                          np.zeros((len(est_xyz), 3))]))
+    out7 = evaluate_files(str(tmp_path / "out_kf_poses.txt"),
+                          str(tmp_path / "gt7.txt"))
+    assert out7["ate_rmse"] < 1e-9
+
+
 def _distort_frames(frames, fx, fy, cx, cy, k1):
     """Synthesize raw-camera captures: for each DISTORTED pixel, Newton-invert
     the radial model to find the ideal ray and sample the clean render there."""

@@ -127,6 +127,47 @@ def test_loop_closure_edge_created():
     _insert(eng, world.observe(np.array([0, 0, 0, 0, 0, 4.8])), known)
     edges = set(zip(eng.edge_u, eng.edge_v))
     assert (0, 6) in edges  # explicit LC edge to old area center
+    # the LC edge is typed as such (annotated graph export input)
+    e_lc = [e for e in range(eng.n_edges)
+            if (eng.edge_u[e], eng.edge_v[e]) == (0, 6)][0]
+    assert eng._edge_kind[e_lc] == 2
+    # mid-submap edges are kind 0
+    e_mid = [e for e in range(eng.n_edges)
+             if (eng.edge_u[e], eng.edge_v[e]) == (0, 1)][0]
+    assert eng._edge_kind[e_mid] == 0
+
+
+def test_annotated_dot_export(tmp_path):
+    """save_graph_as_dot annotates nodes with poses (submap centers
+    doubled) and edges with relative poses + types, loop closures
+    highlighted (≙ the diagnostic value of the reference's SRBA graph
+    exports, .cpp:801, :1094-1095)."""
+    rng = np.random.default_rng(3)
+    world = World(rng)
+    eng = SRBAEngine(CAM, SRBAParams(submap_size=2, max_optimize_depth=2,
+                                     opt_iters=3, win_cams=8))
+    known = set()
+    for i in range(6):
+        gt = np.array([0, 0, 0, 0, 0, 0.8 * i])
+        eng.set_initial_kf_pose(
+            np.array([0, 0, 0, 0, 0, 0.8]) if i else np.zeros(6))
+        _insert(eng, world.observe(gt), known)
+    eng.loop_closure_detected(True)
+    eng.set_lc_old_id(0)
+    eng.set_initial_kf_pose(np.array([0, 0, 0, 0, 0, 0.8]))
+    _insert(eng, world.observe(np.array([0, 0, 0, 0, 0, 4.8])), known)
+    path = tmp_path / "g.dot"
+    eng.save_graph_as_dot(str(path))
+    txt = path.read_text()
+    assert txt.startswith("graph srba {")
+    # every node annotated with a pose; submap centers doubled
+    for k in range(eng.n_kfs):
+        assert f" {k} [shape=" in txt
+    assert "doublecircle" in txt and 'pose="' in txt
+    # every edge typed and annotated with its relative pose
+    assert txt.count(" -- ") == eng.n_edges
+    assert 'kind="submap"' in txt and 'kind="lc"' in txt
+    assert "color=red" in txt and 'rel="' in txt
 
 
 def test_spanning_tree_poses_match_globals():
