@@ -97,13 +97,16 @@ def main(argv=None):
         voc = est.bow.voc if est.bow is not None else None
         if voc is None:
             # no vocabulary file in the config: train ONE shared vocabulary
-            # from sequence 0's first frame (the fleet's batched BoW/DA
-            # program bakes a single leaf table for all sequences)
+            # from the first voc_train_frames frames of sequence 0 (the
+            # fleet's batched BoW/DA program bakes a single leaf table for
+            # all sequences)
             scratch = SRBAStereoSLAMEstimator.from_config(args.config)
             scratch.initialize()
-            l0, r0 = next(iter(SyntheticSource(
-                scratch.cam, n_frames=1, step=0.5, seed=11)))
-            scratch.step(l0, r0)
+            n_train = max(1, scratch.opts.voc_train_frames)
+            for l0, r0 in SyntheticSource(
+                    scratch.cam, n_frames=n_train, step=0.5, seed=11):
+                scratch.step(l0, r0)
+            scratch.ensure_vocabulary()
             voc = scratch.bow.voc
             est.initialize(vocabulary=voc)
         for e in ests[1:]:

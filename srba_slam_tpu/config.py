@@ -192,6 +192,11 @@ class SRBAStereoSLAMOptions:
     # ops/window_ba.py
     anchor_prior_w_rot: float = 1000.0
     anchor_prior_w_trans: float = 100.0
+    # framework extension: with no voc_filename, the fallback vocabulary is
+    # trained from the descriptors of the first N processed frames (the
+    # reference requires a prebuilt voc.yml.gz; training happens lazily at
+    # the first keyframe check so it never blocks the pipeline start)
+    voc_train_frames: int = 8
     # camera
     camera: StereoCamera = field(default_factory=StereoCamera.kitti)
     camera_pose_on_robot: list[float] = field(default_factory=lambda: [0.0] * 6)
@@ -206,6 +211,7 @@ class SRBAStereoSLAMOptions:
         o = SRBAStereoSLAMOptions()
         s = "SRBA_GENERAL"
         o.voc_filename = cfg.read_string(s, "voc_filename", o.voc_filename)
+        o.voc_train_frames = cfg.read_int(s, "voc_train_frames", o.voc_train_frames)
         o.srba_max_tree_depth = cfg.read_int(s, "srba_max_tree_depth", o.srba_max_tree_depth)
         o.srba_max_optimize_depth = cfg.read_int(s, "srba_max_optimize_depth", o.srba_max_optimize_depth)
         o.srba_submap_size = cfg.read_int(s, "srba_submap_size", o.srba_submap_size)

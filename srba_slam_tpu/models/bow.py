@@ -190,6 +190,23 @@ def bow_vector(desc_packed: jax.Array, valid: jax.Array,
     return v / jnp.maximum(n, 1e-12)
 
 
+@jax.jit
+def _rebuild(store_desc_l: jax.Array, store_m_valid: jax.Array,
+             n_kfs: jax.Array, leaf_bits: jax.Array,
+             weights: jax.Array) -> jax.Array:
+    """(Re)build ALL database rows from the keyframe store (used when the
+    lazily-trained fallback vocabulary lands after keyframes were already
+    inserted). lax.map keeps the per-row [K,W] quantization intermediate
+    instead of a vmap's [MAX_KFS,K,W] blow-up."""
+    def row(args):
+        desc, valid = args
+        return bow_vector(desc, valid, leaf_bits, weights)
+
+    vs = jax.lax.map(row, (store_desc_l, store_m_valid))  # [MAX_KFS, W]
+    rows = jnp.arange(vs.shape[0])[:, None]
+    return jnp.where(rows < n_kfs, vs, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("max_results",))
 def _query(db: jax.Array, n_kfs: jax.Array, desc_packed: jax.Array,
            valid: jax.Array, leaf_bits: jax.Array, weights: jax.Array,
@@ -240,6 +257,13 @@ class BoWDatabase:
     def commit_row(self) -> int:
         self.n_kfs += 1
         return self.n_kfs - 1
+
+    def rebuild_from_store(self, store_arrays, n_kfs: int):
+        """Backfill rows [0, n_kfs) from the keyframe store's descriptors
+        (entry id == KF id contract preserved)."""
+        self._db = _rebuild(store_arrays.desc_l, store_arrays.m_valid,
+                            jnp.int32(n_kfs), self._leaf_bits, self._weights)
+        self.n_kfs = n_kfs
 
     def insert(self, desc_packed: jax.Array, valid: jax.Array) -> int:
         """Insert a keyframe's descriptors; returns its DB entry id (== KF id)."""

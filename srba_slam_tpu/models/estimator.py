@@ -246,6 +246,7 @@ class SRBAStereoSLAMEstimator:
         if vocabulary is None and o.voc_filename and os.path.exists(o.voc_filename):
             vocabulary = Vocabulary.load_dbow2(o.voc_filename)
         self._pending_voc_training = vocabulary is None
+        self._voc_buffer = []  # (frame_idx, desc handle, valid handle)
         self.bow = (
             BoWDatabase(vocabulary, max_kfs=self.max_kfs) if vocabulary else None
         )
@@ -668,6 +669,7 @@ class SRBAStereoSLAMEstimator:
             res.vo_valid = True
             res.n_stereo_matches = n_matches
             res.tracked_from_last_kf = tracked_kf
+            self._buffer_voc_frame(feats=feats, j=j)
 
             motion = se3_np.inverse(poses[j].astype(np.float64))
             self.current_pose = se3_np.compose(self.current_pose, motion)
@@ -803,6 +805,11 @@ class SRBAStereoSLAMEstimator:
         plan, self._check_plan = self._check_plan, []
         if not plan:
             return
+        if self.bow is None:
+            # first-ever check: train the fallback vocabulary capped at this
+            # check's frame so batched and per-frame modes train identically
+            self.ensure_vocabulary(
+                limit_fidx=plan[0]["spec"]["res"].frame_idx)
         from srba_slam_tpu.models.data_association import (
             CHECK_SLOTS, fused_checks_batch,
         )
@@ -1013,6 +1020,7 @@ class SRBAStereoSLAMEstimator:
         res.vo_valid = True
         res.n_stereo_matches = vo.num_stereo_matches
         res.tracked_from_last_kf = vo.tracked_from_last_kf
+        self._buffer_voc_frame(frame=self.vo.last_frame())
 
         # pose integration (≙ .cpp:327-330): increment maps prev->cur points,
         # so camera motion is its inverse
@@ -1081,12 +1089,14 @@ class SRBAStereoSLAMEstimator:
     def _insert_first_kf(self, left, right, res: StepResult):
         """≙ the FIRST FRAME branch (reference .cpp:82-216)."""
         vo = self.vo.process_stereo_pair(left, right)
-        if self.bow is None and self._pending_voc_training:
-            self._train_vocabulary_from_frame()
         frame = self.vo.last_frame()
+        self._buffer_voc_frame(frame=frame)
         ids = self._mint_fresh_ids(np.asarray(frame.m_valid))
         kf_id = self.store.append(frame, ids, self.current_pose)
-        self.bow.insert(frame.desc_l, frame.m_valid)
+        if self.bow is not None:
+            self.bow.insert(frame.desc_l, frame.m_valid)
+        # else: the vocabulary is still accumulating (voc_train_frames);
+        # ensure_vocabulary backfills this KF's DB row from the store
         obs = self._build_obs(frame, ids, first_kf=True)
         info = self.rba.define_new_keyframe(obs, run_opt=False)
         self.vo.set_frame_ids(ids, set(ids[ids >= 0]))
@@ -1096,19 +1106,63 @@ class SRBAStereoSLAMEstimator:
         res.n_stereo_matches = vo.num_stereo_matches
         self.kf_stats.append(TStatsSRBA(0.0, 1, int((ids >= 0).sum()), 0))
 
-    def _train_vocabulary_from_frame(self):
-        """No vocabulary file: bootstrap one from the first frame's
-        descriptors (framework capability beyond the reference, which
-        requires a prebuilt voc.yml.gz)."""
-        frame = self.vo.last_frame()
-        desc = np.asarray(frame.desc_l)[np.asarray(frame.m_valid)]
+    def _buffer_voc_frame(self, frame=None, feats=None, j: int = 0):
+        """Accumulate a processed frame's descriptors for the fallback
+        vocabulary (no voc_filename configured). Capped at the first
+        ``voc_train_frames`` valid frames; replayed frames (speculation-miss
+        recovery walks a batch tail twice) are deduplicated by frame index.
+        Device handles only — ONE pull happens at training time."""
+        if self.bow is not None or not self._pending_voc_training:
+            return
+        if len(self._voc_buffer) >= max(1, self.opts.voc_train_frames):
+            return
+        fidx = self.frame_idx
+        if self._voc_buffer and self._voc_buffer[-1][0] >= fidx:
+            return
+        if frame is not None:
+            d, v = frame.desc_l, frame.m_valid
+        else:
+            d, v = feats.desc_l[j], feats.m_valid[j]
+        self._voc_buffer.append((fidx, d, v))
+
+    def ensure_vocabulary(self, limit_fidx: int | None = None):
+        """No vocabulary file: train one from the descriptors accumulated
+        over the first ``voc_train_frames`` frames (framework capability
+        beyond the reference, which requires a prebuilt voc.yml.gz —
+        CBoWManager.h:59-66; the reference vocabulary is k=8 L=5 trained
+        offline). Called lazily at the first keyframe check; any keyframes
+        inserted before that point get their BoW DB rows backfilled from
+        the keyframe store in one device program.
+
+        ``limit_fidx`` restricts training to frames <= that index so the
+        per-frame and batched modes (whose buffers can momentarily extend
+        past an early first check) train bit-identical vocabularies."""
+        if self.bow is not None:
+            return
+        ents = [e for e in self._voc_buffer
+                if limit_fidx is None or e[0] <= limit_fidx]
+        if ents:
+            dh, vh = jax.device_get((
+                jnp.stack([d for _, d, _ in ents]),
+                jnp.stack([v for _, _, v in ents])))
+            desc = dh.reshape(-1, dh.shape[-1])[vh.ravel()]
+        else:
+            desc = np.zeros((0, 8), np.uint32)
         if len(desc) < 32:  # degenerate; random fallback
             desc = np.random.default_rng(0).integers(
                 0, 2**32, (1024, 8), dtype=np.uint64
             ).astype(np.uint32)
-        voc = Vocabulary.train(desc, k=8, L=3, seed=0)
+        # deeper tree once the corpus supports it (k=8: L=3 -> 512 leaves,
+        # L=4 -> 4096); the multi-frame corpus generalizes to unseen views
+        # far better than the old 1-frame L=3 bootstrap
+        # (tests/test_bow.py::test_multiframe_vocabulary_beats_single_frame)
+        L = 4 if len(desc) >= 2048 else 3
+        voc = Vocabulary.train(desc, k=8, L=L, seed=0)
         self.bow = BoWDatabase(voc, max_kfs=self.max_kfs)
+        if self.store.n_kfs:
+            self.bow.rebuild_from_store(self.store.arrays, self.store.n_kfs)
         self._pending_voc_training = False
+        self._voc_buffer = []
 
     # ------------------------------------------------------------- KF check
     def _kf_check(self, frame, res: StepResult, force_new_kf: bool):
@@ -1142,6 +1196,7 @@ class SRBAStereoSLAMEstimator:
             query_and_associate_packed,
         )
 
+        self.ensure_vocabulary(limit_fidx=self.frame_idx)
         m = self.opts.da_stage2_method
         self._da_key, sub = jax.random.split(self._da_key)
         if n_kfs is None:

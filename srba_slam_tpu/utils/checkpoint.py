@@ -32,6 +32,11 @@ def save_state(est, path: str):
     rba = est.rba
     est._finish_batched()  # resolve speculative checks before snapshotting
     rba.flush()  # land any in-flight window solve before snapshotting
+    if est.bow is None:
+        # lazily-trained fallback vocabulary hasn't landed yet (no keyframe
+        # check happened): train it now from whatever is buffered so the
+        # checkpoint is self-contained
+        est.ensure_vocabulary()
     arrays = {f"kf_{name}": np.asarray(arr)
               for name, arr in zip(store.arrays._fields, store.arrays)}
     scalars = {

@@ -96,3 +96,53 @@ def test_load_reference_vocabulary_smoke():
     assert (voc.weights[: voc.n_words] > 0).mean() > 0.9
     # descriptors are proper bit arrays
     assert set(np.unique(voc.leaf_bits)) <= {0, 1}
+
+
+def test_multiframe_vocabulary_beats_single_frame():
+    """VERDICT r3 #6: the fallback vocabulary trained from the first N
+    frames' descriptors (estimator ``ensure_vocabulary``, voc_train_frames)
+    generalizes better than the old 1-frame bootstrap on the street
+    workload: lower quantization distance on UNSEEN frames, and correct
+    nearest-keyframe retrieval."""
+    from srba_slam_tpu.models.vo import StereoVOEngine
+    from srba_slam_tpu.config import VOOptions
+    from srba_slam_tpu.utils.framesource import SyntheticSource
+    from tests.test_estimator import small_cam
+
+    cam = small_cam()
+    frames = list(SyntheticSource(cam, n_frames=14, seed=11, step=0.6,
+                                  scene="street"))
+    eng = StereoVOEngine(cam, VOOptions(fast_th=12, n_feats=256),
+                         capacity=256)
+    descs = []
+    for l, r in frames:
+        eng.process_stereo_pair(l, r)
+        f = eng.last_frame()
+        descs.append(np.asarray(f.desc_l)[np.asarray(f.m_valid)])
+
+    voc1 = Vocabulary.train(descs[0], k=8, L=3, seed=0)
+    multi = np.concatenate(descs[:8])
+    vocN = Vocabulary.train(multi, k=8, L=4 if len(multi) >= 2048 else 3,
+                            seed=0)
+
+    def mean_quant_dist(voc, desc):
+        bits = np.asarray(bitops.unpack_bits(jnp.asarray(desc)), np.int16)
+        lb = voc.leaf_bits[: voc.n_words].astype(np.int16)
+        d = np.abs(bits[:, None, :] - lb[None, :, :]).sum(-1)
+        return float(d.min(axis=1).mean())
+
+    held_out = np.concatenate(descs[10:])
+    q1 = mean_quant_dist(voc1, held_out)
+    qN = mean_quant_dist(vocN, held_out)
+    assert qN < q1, (qN, q1)
+
+    # retrieval on unseen frames: KFs at frames 0/4/8/11, query frame 12 —
+    # the multi-frame vocabulary must rank the nearest KF (frame 11) first
+    kf_frames = [0, 4, 8, 11]
+    db = BoWDatabase(vocN, max_kfs=8)
+    for fi in kf_frames:
+        d = jnp.asarray(descs[fi])
+        db.insert(d, jnp.ones(len(descs[fi]), bool))
+    s, ids = db.query(jnp.asarray(descs[12]),
+                      jnp.ones(len(descs[12]), bool), max_results=4)
+    assert int(ids[0]) == kf_frames.index(11), (s, ids)
