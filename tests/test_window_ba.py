@@ -321,3 +321,58 @@ def test_srba_engine_mesh_mode(rng):
         return eng.kf_global[:6].copy()
 
     np.testing.assert_allclose(run(mesh), run(None), atol=1e-3)
+
+
+def test_sharded_window_at_loop_closure_bucket(rng):
+    """VERDICT r3 #4: the observation-sharded window BA validated at the
+    LOOP-CLOSURE bucket (C=32, L=8192, O=16384 — models/srba.py
+    win_cams/win_lms/win_obs), where the psum assembly and the bf16
+    split-matmul (_split_matmul) are most stressed. Sharded-vs-unsharded
+    must agree to the same tolerances as the toy-scale test, and both
+    must actually improve the perturbed window."""
+    import time
+
+    import jax
+    from jax.sharding import Mesh
+
+    from srba_slam_tpu.ops.window_ba import shard_window_obs
+    from srba_slam_tpu.utils.synthworld import make_ba_window_problem
+
+    C, L, O = 32, 8192, 16384
+    win, gt_cam = make_ba_window_problem(
+        CAM, np.random.default_rng(7),
+        C=C, L=L, O=O, n_cams=30, n_lms=5000,
+        pose_noise=0.03, lm_noise=0.05, px_noise=0.3)
+    n_cams = 30
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("obs",))
+
+    res_1 = optimize_window(win, CAM, kernel_param=1.5, max_iters=8)
+    jax.block_until_ready(res_1.cam_pose)
+    t0 = time.perf_counter()
+    res_1 = optimize_window(win, CAM, kernel_param=1.5, max_iters=8)
+    jax.block_until_ready(res_1.cam_pose)
+    t_1 = time.perf_counter() - t0
+
+    win_sh = shard_window_obs(win, mesh)
+    res_8 = optimize_window(win_sh, CAM, kernel_param=1.5, max_iters=8)
+    jax.block_until_ready(res_8.cam_pose)
+    t0 = time.perf_counter()
+    res_8 = optimize_window(win_sh, CAM, kernel_param=1.5, max_iters=8)
+    jax.block_until_ready(res_8.cam_pose)
+    t_8 = time.perf_counter() - t0
+
+    # the solve genuinely improved the window
+    assert float(res_1.cost_final) < 0.5 * float(res_1.cost_init)
+    err = np.linalg.norm(
+        np.asarray(res_1.cam_pose)[:n_cams, 3:] - gt_cam[:n_cams, 3:],
+        axis=1)
+    assert err.max() < 0.05, err.max()
+    # sharded == unsharded at the big bucket (psums only reorder sums)
+    np.testing.assert_allclose(np.asarray(res_8.cam_pose)[:n_cams],
+                               np.asarray(res_1.cam_pose)[:n_cams],
+                               atol=5e-4)
+    assert abs(float(res_8.obs_rmse) - float(res_1.obs_rmse)) < 1e-2
+    print(f"LC-bucket window solve (C={C},L={L},O={O}, 8 LM iters): "
+          f"1-dev {t_1*1e3:.0f} ms, 8-dev sharded {t_8*1e3:.0f} ms "
+          "(virtual CPU mesh — wall times indicative only)")
