@@ -63,6 +63,11 @@ class FleetSLAM:
         self.mesh = mesh
         self._vo_prog = self._build_vo_prog(e0)
         self._qa_prog = self._build_qa_prog(e0)
+        # fleet-stacked tracking state: kept ON DEVICE across lockstep steps
+        # (re-stacking per-sequence _prev every frame and re-slicing it back
+        # cost ~100 tiny dispatches per step — the dominant host-phase cost
+        # in tools/fleet_phase_probe.py before this cache)
+        self._prev_stacked = None
 
     # ------------------------------------------------------------- programs
     def _build_vo_prog(self, e0):
@@ -120,15 +125,31 @@ class FleetSLAM:
         exhausted (or ``max_frames``)."""
         its = [iter(s) for s in sources]
         n = 0
-        while max_frames is None or n < max_frames:
-            frames = []
-            for it in its:
-                try:
-                    frames.append(next(it))
-                except StopIteration:
-                    return
-            self.step(frames)
-            n += 1
+        try:
+            while max_frames is None or n < max_frames:
+                frames = []
+                for it in its:
+                    try:
+                        frames.append(next(it))
+                    except StopIteration:
+                        return
+                self.step(frames)
+                n += 1
+        finally:
+            self.sync_states()
+
+    def sync_states(self):
+        """Write the fleet-stacked tracking state back into the individual
+        estimators (their ``vo._prev`` goes stale during lockstep — the
+        stacked copy is the live one) so per-sequence stepping,
+        checkpointing, and finalize continue seamlessly after a fleet
+        run."""
+        if self._prev_stacked is None:
+            return
+        for i, e in enumerate(self.ests):
+            e.vo._prev = jax.tree.map(lambda a, j=i: a[j],
+                                      self._prev_stacked)
+        self._prev_stacked = None
 
     def step(self, frames):
         """Advance every sequence by one frame (lockstep)."""
@@ -145,21 +166,26 @@ class FleetSLAM:
         if boot[0]:
             for e, (l, r) in zip(self.ests, frames):
                 e.step(l, r)
+            self._prev_stacked = None  # (re)stack from per-seq state below
             return
 
         # native dtype (typically uint8): the frontend casts on-chip, and
         # 8-bit uploads quarter the host->device bytes
         lefts = jnp.asarray(np.stack([f[0] for f in frames]))
         rights = jnp.asarray(np.stack([f[1] for f in frames]))
-        prev = jax.tree.map(lambda *xs: jnp.stack(xs),
-                            *[e.vo._prev for e in self.ests])
+        if self._prev_stacked is None:
+            prev = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                *[e.vo._prev for e in self.ests])
+            prev = shard_batch(self.mesh, (prev,))[0]
+        else:
+            prev = self._prev_stacked  # already sharded program output
         if self.ests[0].vo.opts.use_previous_pose_as_initial:
             init = jnp.asarray(np.stack(
                 [e.vo._last_pose_inc for e in self.ests]), jnp.float32)
         else:
             init = jnp.zeros((S, 6), jnp.float32)
-        lefts, rights, prev, init = shard_batch(
-            self.mesh, (lefts, rights, prev, init))
+        lefts, rights, init = shard_batch(
+            self.mesh, (lefts, rights, init))
 
         # --- sharded VO with the fleet-wide adaptive-threshold retry loop
         th_min = self.ests[0].opts.adaptive_th_min_matches
@@ -196,15 +222,14 @@ class FleetSLAM:
         # three places (the parity tests in tests/test_parallel.py and
         # tests/test_batch_mode.py catch drift between them)
         checks = []  # (seq index, force_new_kf, StepResult)
+        self._prev_stacked = cur  # the whole fleet's new tracking reference
         for i, e in enumerate(self.ests):
             e.frame_idx += 1
             res = StepResult(e.frame_idx)
             e.step_log.append(res)
             eng = e.vo
-            frame_i = jax.tree.map(lambda a: a[i], cur)
             nm = int(n_matches[i])
             if not bool(pv_h[i]) or nm < 8:
-                eng._prev = frame_i
                 eng._prev_ids = np.full(e.capacity, -1, np.int64)
                 continue
             cur_ids = np.full(e.capacity, -1, np.int64)
@@ -227,7 +252,6 @@ class FleetSLAM:
             e.incr_from_last_kf = se3_np.compose(e.incr_from_last_kf, motion)
             e.incr_from_last_check = se3_np.compose(
                 e.incr_from_last_check, motion)
-            eng._prev = frame_i
             eng._prev_ids = cur_ids
             eng._last_pose_inc = poses_h[i].astype(np.float32)
 
