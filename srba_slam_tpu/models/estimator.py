@@ -54,32 +54,110 @@ def _slice_frame(feats, j):
     return jax.tree.map(lambda a: a[j], feats)
 
 
+_BIRTH_DEAD = 1 << 30  # sentinel "no live track" birth value
+
+
 @jax.jit
-def _pack_scan_outs(track_idx, track_valid, m_valid, poses, pose_valid,
-                    mean_res, last_inc):
-    """Pack the scan's 7 pulled arrays into (int32 blob, f32 blob) — the
-    tunneled runtime pays per-ARRAY pull overhead (see
-    data_association.pack_check_outputs)."""
+def _pack_scan_summary(track_idx, track_valid, m_valid, poses, pose_valid,
+                       mean_res, last_inc, seed_birth, ref_thr, j0):
+    """Per-frame SCALARS + the tracked-count matrix, computed ON DEVICE.
+
+    The batched loop used to pull the full track lanes (track_idx /
+    track_valid / m_valid — 3 x B x K int32 lanes, ~370 KB at B=60) every
+    batch just so the host could walk the backpointer chain and count
+    per-frame keyframe membership. Both are computable on device: carry a
+    per-slot BIRTH frame through the track chains (a track alive at frame
+    ``j`` with ``birth <= r`` was continuously m_valid-tracked through
+    reference frame ``r``, hence chains to a valid slot there), then
+    tracked-from-reference counts are threshold sums. The pull shrinks to
+    ~B^2 ints; the lanes stay on device for the (rare) speculation-miss
+    replay and the fused check programs.
+
+    ``seed_birth`` [K] encodes the incoming reference state of the
+    previous frame's slots: -1 = chained to the CURRENT keyframe
+    reference, >=0/anything-smaller-than-j0 = alive but unchained, DEAD =
+    no track. ``ref_thr`` (traced scalar) is the absolute frame index of
+    the reference active at batch start (-1 = the seed's epoch entry).
+    ``j0`` is the batch's absolute start frame (birth values are absolute
+    so chains compose across batches).
+
+    Skip frames (invalid pose or <8 matches) KILL keyframe chaining
+    exactly like the host walk did (bp reset to -1): alive births clamp
+    to the skip frame, so counts against any earlier reference drop to 0
+    while chains re-counted from later references are unaffected
+    (reference contract: the per-frame trigger semantics of .cpp:366-394).
+    """
+    b, k = track_idx.shape
+    dead = jnp.int32(_BIRTH_DEAD)
+    nm = jnp.sum(m_valid.astype(jnp.float32), axis=1).astype(jnp.int32)
+    skip = (~pose_valid) | (nm < 8)
+    js = j0 + jnp.arange(b, dtype=jnp.int32)
+
+    def step(birth_prev, xs):
+        ti, tv, mv, sk, j = xs
+        g = jnp.where(tv, birth_prev[ti], dead)
+        birth = jnp.where(mv, jnp.where(g == dead, j, g), dead)
+        birth = jnp.where(sk & mv, jnp.maximum(birth, j), birth)
+        return birth, birth
+
+    _last, births = jax.lax.scan(
+        step, seed_birth.astype(jnp.int32),
+        (track_idx, track_valid, m_valid, skip, js))
+    alive = m_valid[:, None, :]
+    # counts as f32 sums (int32 reduces are pathologically slow here)
+    thr = jnp.concatenate([ref_thr[None].astype(jnp.int32), js])  # [1+B]
+    cnt = jnp.sum(
+        ((births[:, None, :] <= thr[None, :, None]) & alive)
+        .astype(jnp.float32), axis=-1).astype(jnp.int32)  # [B, 1+B]
     ints = jnp.concatenate([
-        track_idx.ravel(),
-        track_valid.astype(jnp.int32).ravel(),
-        m_valid.astype(jnp.int32).ravel(),
-        pose_valid.astype(jnp.int32),
-    ])
+        nm, pose_valid.astype(jnp.int32), cnt.ravel()])
     floats = jnp.concatenate([poses.ravel(), mean_res, last_inc])
-    return ints, floats
+    return ints, floats, births
 
 
-def _unpack_scan_outs(ints, floats, b: int, k: int):
+def _unpack_scan_summary(ints, floats, b: int):
     o = 0
-    track_idx = ints[o:o + b * k].reshape(b, k); o += b * k
-    track_valid = ints[o:o + b * k].reshape(b, k).astype(bool); o += b * k
-    m_valid = ints[o:o + b * k].reshape(b, k).astype(bool); o += b * k
-    pose_valid = ints[o:o + b].astype(bool)
+    nm = ints[o:o + b]; o += b
+    pose_valid = ints[o:o + b].astype(bool); o += b
+    cnt = ints[o:o + b * (1 + b)].reshape(b, 1 + b)
+    cnt0, cnt_loc = cnt[:, 0], cnt[:, 1:]
     poses = floats[: b * 6].reshape(b, 6)
     mean_res = floats[b * 6: b * 7]
     last_inc = floats[b * 7: b * 7 + 6]
-    return track_idx, track_valid, m_valid, poses, pose_valid, mean_res, last_inc
+    return nm, pose_valid, cnt0, cnt_loc, poses, mean_res, last_inc
+
+
+@jax.jit
+def _chain_slotmaps(track_idx, track_valid, m_valid, pose_valid,
+                    init_map, reset_mask):
+    """Actual backpointer SLOT MAPS, on device (dispatched once per batch
+    AFTER the host walk, when the predicted keyframe resets are known).
+
+    Returns ``maps`` [B, K]: for each frame, the reference-KF slot each
+    track chains back to (-1 = unchained) — the exact value the host walk
+    used to compute per frame. ``maps[j]`` is PRE-reset at reset frames
+    (matching the snapshot the speculation machinery takes before a
+    predicted insert re-references the chains); the carried state resets
+    after. ``maps[-1]`` seeds the next batch's call; a pull of one row
+    serves id materialization (`_materialize_engine_ids`) and the
+    speculation-miss replay."""
+    b, k = track_idx.shape
+    nm = jnp.sum(m_valid.astype(jnp.float32), axis=1).astype(jnp.int32)
+    skip = (~pose_valid) | (nm < 8)
+    idx = jnp.arange(k, dtype=jnp.int32)
+
+    def step(M, xs):
+        ti, tv, mv, sk, rs = xs
+        chained = jnp.where(tv & mv, M[ti], -1)
+        chained = jnp.where(sk, -1, chained)
+        out = chained
+        carry = jnp.where(rs, jnp.where(mv, idx, -1), chained)
+        return carry, out
+
+    _last, maps = jax.lax.scan(
+        step, init_map.astype(jnp.int32),
+        (track_idx, track_valid, m_valid, skip, reset_mask))
+    return maps
 
 
 class _FrameUploader:
@@ -316,6 +394,21 @@ class SRBAStereoSLAMEstimator:
         self._ref_ids: np.ndarray | None = None
         self._last_m_valid = None
         self._bp_live = False  # batch frames processed since the last sync
+        # ---- on-device track-chain state (the virtual backpointer mode) --
+        # During the batched walk, track identity lives ON DEVICE: the scan
+        # summary ships only per-frame scalars + the tracked-count matrix
+        # (see _pack_scan_summary); the actual slot maps are maintained by
+        # one _chain_slotmaps dispatch per batch and pulled only at id
+        # materialization or on a speculation miss.
+        self._virtual_bp = False       # device chain state is authoritative
+        self._ref_frame: int | None = None  # absolute frame of the current
+        # track reference (None = the host-seeded epoch entry)
+        self._chain_entry_dev = None   # [K] i32 slot map at last walked frame
+        self._last_mv_dev = None       # [K] bool m_valid of last walked frame
+        self._last_skip = False        # last walked frame was a skip frame
+        self._scan_frame0 = 1          # absolute scan-frame counter (birth
+        # values; strictly monotone, host-seed sentinels are -1/0 < 1)
+        self._chain_pulled = None      # (bp, mv) prefetched by the finish pull
         self._da_dead = False  # appearance regime: does DA fail even at
         # short range? (learned from non-forced checks; the predictor)
         self._replay_flag = False  # set by _miss_recover; callers inspect
@@ -464,7 +557,7 @@ class SRBAStereoSLAMEstimator:
         self._finish_batched()
 
     def _dispatch_scan(self, lefts, rights, chain: dict | None = None,
-                       host: tuple | None = None) -> dict:
+                       host: tuple | None = None, j0: int | None = None) -> dict:
         """Dispatch one vo_scan batch (async). ``lefts``/``rights`` may be
         host numpy, already-staged device arrays, or LISTS of per-frame
         device arrays from the _FrameUploader (stacked here on device — a
@@ -508,13 +601,84 @@ class SRBAStereoSLAMEstimator:
             use_pallas=eng.use_pallas,
         )
         h_l, h_r = host if host is not None else (lefts, rights)
-        (feats, track_idx, track_valid, poses, pose_valid, _n_inl,
-         mean_res) = outs
-        pk = _pack_scan_outs(track_idx, track_valid, feats.m_valid, poses,
-                             pose_valid, mean_res, last_inc)
-        return dict(outs=outs, pk=pk, last_feat=last_feat, last_inc=last_inc,
+        if j0 is None:
+            j0 = self._scan_frame0
+            self._scan_frame0 += lefts.shape[0]
+        disp = dict(outs=outs, last_feat=last_feat, last_inc=last_inc,
                     b=lefts.shape[0], lefts=h_l, rights=h_r,
-                    prev_feat=prev_feat, prev_inc=prev_inc)
+                    prev_feat=prev_feat, prev_inc=prev_inc, j0=j0,
+                    chain_from=chain)
+        if chain is None:
+            # synchronous entry (batch start / step_batch): the host chain
+            # state is current, so the summary can attach immediately; a
+            # PREFETCHED dispatch (chain != None) gets its summary attached
+            # by _process_scan after the preceding batch's walk, when the
+            # reference is final
+            self._attach_summary(disp)
+        return disp
+
+    def _attach_summary(self, disp: dict, seed=None):
+        """Dispatch the scan-summary pack for ``disp`` (see
+        _pack_scan_summary). ``seed`` overrides the birth seed (retry
+        tails chain from mid-batch rows); otherwise the seed comes from
+        the chain source's births in virtual mode, or is synthesized from
+        the host backpointers when (re)entering virtual mode."""
+        (feats, track_idx, track_valid, poses, pose_valid, _n_inl,
+         mean_res) = disp["outs"]
+        if seed is None:
+            # pop: holding the chain link would keep every batch's device
+            # arrays reachable for the whole run
+            ch = disp.pop("chain_from", None)
+            if ch is not None and self._virtual_bp and "births" in ch:
+                seed = ch["births"][ch["b"] - 1]
+            else:
+                # (re)enter virtual mode from the host backpointer state:
+                # -1 = chained to the current KF reference, 0 = otherwise
+                # (0 < any scan frame index, so such tracks count for every
+                # in-batch reference — exactly the host reset semantics)
+                assert self._bp is not None
+                seed = jnp.asarray(
+                    np.where(self._bp >= 0, -1, 0).astype(np.int32))
+                self._chain_entry_dev = jnp.asarray(
+                    self._bp.astype(np.int32))
+                self._ref_frame = None
+                self._virtual_bp = True
+        ref_thr = -1 if self._ref_frame is None else self._ref_frame
+        ints, floats, births = _pack_scan_summary(
+            track_idx, track_valid, feats.m_valid, poses, pose_valid,
+            mean_res, disp["last_inc"], seed, jnp.int32(ref_thr),
+            jnp.int32(disp["j0"]))
+        disp["pk"] = (ints, floats)
+        disp["births"] = births
+        disp["seed_birth"] = seed
+
+    def _finish_batch_chain(self, batch_rec: dict, upto: int):
+        """After walking batch frames [0, upto): dispatch the slot-map
+        chain program (predicted keyframe resets now known) and advance
+        the device chain-entry state to the last walked frame."""
+        if upto <= 0 or not self._virtual_bp:
+            return
+        feats = batch_rec["feats"]
+        (_f, track_idx, track_valid, _p, pose_valid, _n, _m) =             batch_rec["outs"]
+        b = batch_rec["b_full"]
+        reset_np = np.zeros(b, bool)
+        for r in batch_rec["resets"]:
+            reset_np[r] = True
+        maps = _chain_slotmaps(track_idx, track_valid, feats.m_valid,
+                               pose_valid, batch_rec["entry_dev"],
+                               jnp.asarray(reset_np))
+        batch_rec["maps"] = maps
+        mv_last = feats.m_valid[upto - 1]
+        if (upto - 1) in batch_rec["resets"]:
+            # maps rows are PRE-reset (snapshot semantics); the chain entry
+            # for the next batch is the post-reset identity over the new
+            # reference frame's valid slots
+            self._chain_entry_dev = jnp.where(
+                mv_last, jnp.arange(self.capacity, dtype=jnp.int32),
+                jnp.int32(-1))
+        else:
+            self._chain_entry_dev = maps[upto - 1]
+        self._last_mv_dev = mv_last
 
     def _process_scan(self, disp: dict, next_fn=None):
         """Pull one dispatched batch and run the per-frame keyframe logic.
@@ -541,34 +705,44 @@ class SRBAStereoSLAMEstimator:
         eng = self.vo
         last_feat, last_inc = disp["last_feat"], disp["last_inc"]
         feats = disp["outs"][0]
+        if "pk" not in disp:  # prefetched dispatch whose summary never
+            self._attach_summary(disp)  # attached (defensive)
         self._dispatch_planned_checks()  # no-op unless a retry/guard path
         # left undispatched plans behind
         pend = self.rba.pending_device_arrays()
         spec = self._spec
         spec_handles = tuple(h for c in spec for h in c["handles"])
         pulled = bulk_pull(disp["pk"] + pend + spec_handles)
-        (track_idx, track_valid, m_valid, poses, pose_valid, mean_res,
-         last_inc_h) = _unpack_scan_outs(pulled[0], pulled[1], b,
-                                         self.capacity)
+        (nm, pose_valid, cnt0, cnt_loc, poses, mean_res,
+         last_inc_h) = _unpack_scan_summary(pulled[0], pulled[1], b)
         if pend:
             self.rba.commit_pending(pulled[2:2 + len(pend)])
+        self._replay_flag = False
         if spec:
             self._resolve_spec(pulled[2 + len(pend):])
         self._reanchor_if_dirty()
 
-        batch_rec = dict(feats=feats, track_idx=track_idx,
-                         track_valid=track_valid, m_valid=m_valid,
-                         poses=poses, pose_valid=pose_valid, b=b)
+        batch_rec = dict(feats=feats, outs=disp["outs"], nm=nm,
+                         pose_valid=pose_valid, cnt0=cnt0, cnt=cnt_loc,
+                         poses=poses, b=b, b_full=b, j0=disp["j0"],
+                         resets=[], ref_local=None, h_lanes=None,
+                         entry_dev=self._chain_entry_dev)
+        if self._replay_flag or not self._virtual_bp:
+            # a speculation miss replayed an earlier batch's tail (host
+            # backpointers are live now), or virtual mode never engaged:
+            # this batch's device summary was packed against PREDICTED
+            # reference state — walk it in host mode from the pulled lanes
+            # (one extra transfer, miss path only)
+            self._pull_host_lanes(batch_rec)
 
         th = self.opts.adaptive_th_min_matches
-        n_per = m_valid.sum(axis=1)
         retry_j = None
         # the whole adaptive-threshold protocol is gated on
         # orb_adaptive_fast_th (≙ reference .cpp:271: the retry do-while and
         # the drift adjustments only run when the option is set)
         adaptive = self.opts.orb_adaptive_fast_th
         if adaptive and (not eng.is_fast_th_min() or not eng.is_orb_th_max()):
-            below = np.nonzero(n_per < th)[0]
+            below = np.nonzero(nm < th)[0]
             if len(below):
                 retry_j = int(below[0])
 
@@ -579,6 +753,7 @@ class SRBAStereoSLAMEstimator:
             # (those frames are re-processed by the re-dispatched scan below)
             batch_rec["b"] = retry_j
             self._process_frames(batch_rec, 0, retry_j)
+            self._finish_batch_chain(batch_rec, retry_j)
             eng.retry_step()  # guaranteed to move: gated above on a
                               # movable threshold
             # chain state at the retry point: last processed frame's
@@ -592,28 +767,41 @@ class SRBAStereoSLAMEstimator:
                     if bool(pose_valid[jj]):
                         inc = jnp.asarray(poses[jj].astype(np.float32))
                 chain = {"last_feat": chain_feat, "last_inc": inc}
+                tail_seed = disp["births"][retry_j - 1]
             else:
                 chain = {"last_feat": disp["prev_feat"],
                          "last_inc": disp["prev_inc"]}
+                tail_seed = disp["seed_birth"]
             tail = self._dispatch_scan(
                 np.asarray(disp["lefts"])[retry_j:],
-                np.asarray(disp["rights"])[retry_j:], chain=chain)
+                np.asarray(disp["rights"])[retry_j:], chain=chain,
+                j0=disp["j0"] + retry_j)
+            if self._virtual_bp:
+                self._attach_summary(tail, seed=tail_seed)
+            else:
+                self._attach_summary(tail)  # host-seeded (replay happened)
             # the tail's processing dispatches the next batch (thresholds
             # final there); may retry again at lower thresholds
             nxt = self._process_scan(tail, next_fn)
             disp["last_feat"] = tail["last_feat"]
             disp["last_inc"] = tail["last_inc"]
+            disp["births"] = tail["births"]
             return nxt
 
         # healthy-threshold drift (≙ the post-retry adjustments of
         # .cpp:271-314, applied at batch granularity) BEFORE launching the
         # next batch — nothing below reads the detector thresholds
         if adaptive:
-            min_matches = int(n_per.min()) if b else self.capacity
+            min_matches = int(nm.min()) if b else self.capacity
             eng.drift_thresholds(min_matches, th)
         nxt = next_fn(disp) if next_fn is not None else None
 
         self._process_frames(batch_rec, 0, b)
+        self._finish_batch_chain(batch_rec, b)
+        if nxt is not None and "pk" not in nxt:
+            # the prefetched next batch's summary attaches NOW — after this
+            # batch's walk fixed the track reference it must count against
+            self._attach_summary(nxt)
         # launch the batch's deferred checks now (ONE fused call) so the
         # device works on them while the host stages the next batch
         self._dispatch_planned_checks()
@@ -626,20 +814,41 @@ class SRBAStereoSLAMEstimator:
         eng._last_pose_inc = np.asarray(last_inc_h, np.float32)
         return nxt
 
+    def _pull_host_lanes(self, batch_rec: dict):
+        """Materialize a batch's track lanes on host (speculation-miss
+        replay / host-mode walks): ONE bulk transfer of the three lanes
+        kept on device by the summary design."""
+        if batch_rec.get("h_lanes") is not None:
+            return
+        (feats, track_idx, track_valid, _p, pose_valid_d, _n, _m) =             batch_rec["outs"]
+        ti, tv, mv = bulk_pull((track_idx, track_valid, feats.m_valid))
+        batch_rec["h_lanes"] = dict(track_idx=ti,
+                                    track_valid=tv.astype(bool),
+                                    m_valid=mv.astype(bool))
+
     def _process_frames(self, batch_rec: dict, j0: int, j1: int,
                         defer: bool = True):
         """Per-frame keyframe logic for batch frames [j0, j1).
 
-        Track identity is kept as BACKPOINTERS (``self._bp``) into the
-        latest keyframe's feature slots instead of materialized global ids:
-        the membership count the KF triggers need is just ``(bp >= 0).sum()``,
-        which is id-free — so a keyframe check can be dispatched and its
-        results pulled a whole batch later (``defer=True``) without knowing
-        the propagated ids yet. ``defer=False`` (replay after a speculation
-        miss) resolves each check synchronously."""
-        m_valid = batch_rec["m_valid"]
-        track_idx = batch_rec["track_idx"]
-        track_valid = batch_rec["track_valid"]
+        Track identity is kept as BACKPOINTERS into the latest keyframe's
+        feature slots instead of materialized global ids: the membership
+        count the KF triggers need is id-free, so a keyframe check can be
+        dispatched and its results pulled a whole batch later
+        (``defer=True``) without knowing the propagated ids yet.
+
+        In the normal deferred walk the backpointers are VIRTUAL: the
+        device-computed count matrix (``cnt0``/``cnt`` from
+        _pack_scan_summary) provides tracked-from-reference directly, and
+        the host only tracks WHICH frame is the reference
+        (``batch_rec['ref_local']`` / ``self._ref_frame``) — no per-frame
+        lane math, no lane transfer. ``defer=False`` (replay after a
+        speculation miss) walks with materialized host lanes
+        (``batch_rec['h_lanes']``) and the host ``self._bp`` chain exactly
+        as before."""
+        lanes = batch_rec.get("h_lanes")
+        if not defer:
+            assert lanes is not None, "replay walk needs host lanes"
+        nm = batch_rec["nm"]
         poses = batch_rec["poses"]
         pose_valid = batch_rec["pose_valid"]
         feats = batch_rec["feats"]
@@ -648,24 +857,35 @@ class SRBAStereoSLAMEstimator:
             self.frame_idx += 1
             res = StepResult(self.frame_idx)
             self.step_log.append(res)
-            n_matches = int(m_valid[j].sum())
+            n_matches = int(nm[j])
             if not bool(pose_valid[j]) or n_matches < 8:
-                # skip frame; the tracking reference still advances
-                self._bp = np.full(k, -1, np.int64)
-                self._last_m_valid = None
+                # skip frame; the tracking reference still advances (chains
+                # die — on device via the birth clamp, on host via bp=-1)
+                if lanes is not None:
+                    self._bp = np.full(k, -1, np.int64)
+                    self._last_m_valid = None
+                self._last_skip = True
                 self._bp_live = True
                 continue
 
-            # backpointer chain (≙ the global-id inheritance of
-            # StereoVOEngine.process_stereo_pair, names dropped)
-            nbp = np.full(k, -1, np.int64)
-            tv = track_valid[j]
-            nbp[tv] = self._bp[track_idx[j][tv]]
-            nbp[~m_valid[j]] = -1
-            self._bp = nbp
-            self._last_m_valid = m_valid[j]
+            if lanes is not None:
+                # host-mode chain (≙ the global-id inheritance of
+                # StereoVOEngine.process_stereo_pair, names dropped)
+                m_valid = lanes["m_valid"]
+                nbp = np.full(k, -1, np.int64)
+                tv = lanes["track_valid"][j]
+                nbp[tv] = self._bp[lanes["track_idx"][j][tv]]
+                nbp[~m_valid[j]] = -1
+                self._bp = nbp
+                self._last_m_valid = m_valid[j]
+                tracked_kf = int((nbp >= 0).sum())
+            else:
+                rl = batch_rec["ref_local"]
+                tracked_kf = (int(batch_rec["cnt"][j, rl])
+                              if rl is not None
+                              else int(batch_rec["cnt0"][j]))
+            self._last_skip = False
             self._bp_live = True
-            tracked_kf = int((nbp >= 0).sum())
             res.vo_valid = True
             res.n_stereo_matches = n_matches
             res.tracked_from_last_kf = tracked_kf
@@ -698,11 +918,28 @@ class SRBAStereoSLAMEstimator:
                 defer = False
             if defer:
                 self._defer_check(res, force_new_kf, batch_rec, j)
+                from srba_slam_tpu.models.data_association import CHECK_SLOTS
+
+                if len(self._check_plan) >= CHECK_SLOTS:
+                    # a full fused-program group is planned: dispatch NOW so
+                    # its ~10 ms/slot of device compute overlaps the rest of
+                    # the host walk instead of starting after it (the
+                    # end-of-batch dispatch still flushes the remainder)
+                    self._dispatch_planned_checks()
             else:
                 frame_j = _slice_frame(feats, jnp.int32(j))  # ONE dispatch
                 new_ids = self._kf_check(frame_j, res, force_new_kf)
                 if new_ids is not None:
-                    self._bp = np.where(m_valid[j], np.arange(k), -1)
+                    if lanes is not None:
+                        self._bp = np.where(lanes["m_valid"][j],
+                                            np.arange(k), -1)
+                    else:
+                        # virtual mode (capacity guard switched to sync
+                        # checks without a replay): a real insert
+                        # re-references the chains like a predicted one
+                        batch_rec["resets"].append(j)
+                        batch_rec["ref_local"] = j
+                        self._ref_frame = batch_rec["j0"] + j
                     self._ref_ids = new_ids.copy()
             # max_num_kfs is a per-FRAME stop in the reference main loop
             # (.cpp:930-932 ≙ perform_stereo_slam): a batch must not
@@ -751,7 +988,6 @@ class SRBAStereoSLAMEstimator:
                      batch_rec: dict, j: int):
         """Dispatch a keyframe check without pulling it; speculate on the
         predicted outcome."""
-        m_valid = batch_rec["m_valid"]
         th = self.opts.updated_matches_th
         predict_insert = (
             force_new_kf
@@ -764,8 +1000,16 @@ class SRBAStereoSLAMEstimator:
             incr_kf=self.incr_from_last_kf.copy(),
             tr_th=self.updated_translation_th,
             rot_th=self.updated_rotation_th,
-            bp=self._bp.copy(), ref_ids=self._ref_ids,
+            ref_ids=self._ref_ids,
             batch=batch_rec, j=j,
+            # virtual-chain snapshot: the reference + the resets recorded
+            # SO FAR (a miss reconstructs the host backpointers at this
+            # check from the device slot maps with exactly these resets)
+            resets=list(batch_rec["resets"]),
+            ref_local=batch_rec["ref_local"],
+            ref_frame=self._ref_frame,
+            bp=(self._bp.copy() if batch_rec.get("h_lanes") is not None
+                else None),
         )
         n_pending_ins = sum(1 for x in self._spec if x["ins"])
         spec_row = self.store.n_kfs + n_pending_ins
@@ -779,7 +1023,7 @@ class SRBAStereoSLAMEstimator:
         spec_entry = dict(
             handles=None, frame=None, frame_ref=(batch_rec["feats"], j),
             res=res, force=force_new_kf,
-            ins=predict_insert, m_valid_j=m_valid[j],
+            ins=predict_insert,
             incr_at_check=snap["incr_kf"], snap=snap, spec_row=spec_row)
         self._spec.append(spec_entry)
         self._check_plan.append(dict(
@@ -787,11 +1031,21 @@ class SRBAStereoSLAMEstimator:
             key=sub))
         if predict_insert:
             # reset accumulators/thresholds, re-reference the track chains
-            # to this frame (ids pending until resolution)
+            # to this frame (ids pending until resolution). The chain
+            # re-reference is VIRTUAL: record the reset; the count matrix
+            # already carries every candidate reference column
             self.incr_from_last_kf = np.zeros(6)
             self.updated_translation_th = float(self.opts.max_translation)
             self.updated_rotation_th = float(self.opts.max_rotation)
-            self._bp = np.where(m_valid[j], np.arange(self.capacity), -1)
+            if batch_rec.get("h_lanes") is not None:
+                # host-mode walk (post-replay batch): reset the live host
+                # backpointers directly
+                self._bp = np.where(batch_rec["h_lanes"]["m_valid"][j],
+                                    np.arange(self.capacity), -1)
+            else:
+                batch_rec["resets"].append(j)
+                batch_rec["ref_local"] = j
+                self._ref_frame = batch_rec["j0"] + j
             self._ref_ids = None
         # predicted no-insert: state untouched (the overwhelmingly common
         # no-insert outcome changes nothing — threshold shrink only happens
@@ -921,7 +1175,35 @@ class SRBAStereoSLAMEstimator:
         self.incr_from_last_check = np.zeros(6)
         self.updated_translation_th = snap["tr_th"]
         self.updated_rotation_th = snap["rot_th"]
-        self._bp = snap["bp"].copy()
+        b_rec = snap["batch"]
+        j_c = snap["j"]
+        snap_bp = snap.get("bp")
+        if snap_bp is None:
+            # virtual-chain snap: rebuild the host backpointers AT the
+            # check frame from the device slot maps (the resets recorded up
+            # to this check), pulling the row together with the batch's
+            # lanes in ONE transfer (miss path only)
+            (feats, track_idx, track_valid, _p, pose_valid_d, _n, _m) = \
+                b_rec["outs"]
+            reset_np = np.zeros(b_rec["b_full"], bool)
+            for r in snap["resets"]:
+                reset_np[r] = True
+            maps = _chain_slotmaps(track_idx, track_valid, feats.m_valid,
+                                   pose_valid_d, b_rec["entry_dev"],
+                                   jnp.asarray(reset_np))
+            row, ti, tv, mv = bulk_pull((maps[j_c], track_idx, track_valid,
+                                         feats.m_valid))
+            b_rec["h_lanes"] = dict(track_idx=ti,
+                                    track_valid=tv.astype(bool),
+                                    m_valid=mv.astype(bool))
+            snap_bp = row.astype(np.int64)
+        else:
+            self._pull_host_lanes(b_rec)
+        self._virtual_bp = False
+        self._ref_frame = None
+        self._bp = snap_bp.copy()
+        self._last_m_valid = b_rec["h_lanes"]["m_valid"][j_c]
+        self._last_skip = False
         self._ref_ids = snap["ref_ids"]
         self._da_key = snap["da_key"]
         if d["insert"]:
@@ -933,7 +1215,8 @@ class SRBAStereoSLAMEstimator:
                                  pre_written=False)
             self.incr_from_last_kf = np.zeros(6)
             self.current_pose = self.last_kf_pose.copy()
-            self._bp = np.where(c["m_valid_j"], np.arange(self.capacity), -1)
+            self._bp = np.where(b_rec["h_lanes"]["m_valid"][j_c],
+                                np.arange(self.capacity), -1)
             self._ref_ids = ids.copy()
         else:
             self._apply_no_insert(d)
@@ -943,29 +1226,64 @@ class SRBAStereoSLAMEstimator:
             self.current_pose = se3_np.compose(self.last_kf_pose,
                                                self.incr_from_last_kf)
         self._pose_dirty = False
-        b = snap["batch"]
-        self._process_frames(b, snap["j"] + 1, b["b"], defer=False)
+        self._process_frames(b_rec, j_c + 1, b_rec["b"], defer=False)
 
-    def _resolve_pending_checks(self):
-        """Force deferred checks + queued window solves to land (one pull)."""
+    def _resolve_pending_checks(self, with_chain: bool = False):
+        """Force deferred checks + queued window solves to land (one pull).
+
+        ``with_chain=True`` (the finish path) rides the device chain-entry
+        slot map and last-frame validity mask along the same transfer so
+        the id materialization that follows costs no extra round trip."""
         self._dispatch_planned_checks()
+        chain_h = ()
+        if with_chain and self._virtual_bp \
+                and self._chain_entry_dev is not None \
+                and self._last_mv_dev is not None:
+            chain_h = (self._chain_entry_dev, self._last_mv_dev)
+        self._chain_pulled = None
         if not self._spec:
             self.rba.flush()
             self._reanchor_if_dirty()
+            if chain_h:
+                self._chain_pulled = bulk_pull(chain_h)
             return
         pend = self.rba.pending_device_arrays()
         spec_handles = tuple(h for c in self._spec for h in c["handles"])
-        pulled = bulk_pull(pend + spec_handles)
+        pulled = bulk_pull(pend + spec_handles + chain_h)
         if pend:
             self.rba.commit_pending(pulled[:len(pend)])
-        self._resolve_spec(pulled[len(pend):])
+        if chain_h:
+            self._chain_pulled = pulled[-2:]
+        self._replay_flag = False
+        self._resolve_spec(pulled[len(pend):len(pend) + len(spec_handles)]
+                           if chain_h else pulled[len(pend):])
+        if self._replay_flag:
+            self._chain_pulled = None  # replay switched to host mode
         self._reanchor_if_dirty()
 
     def _materialize_engine_ids(self):
         """Translate the backpointer chains into the VO engine's global-id
         representation so per-frame stepping, checkpointing, and fleet mode
-        can continue seamlessly from batched state."""
-        if not self._bp_live or self._bp is None or self._ref_ids is None:
+        can continue seamlessly from batched state. In virtual-chain mode
+        the slot map is pulled from the device first (prefetched by the
+        finish pull when possible)."""
+        if not self._bp_live or self._ref_ids is None:
+            return
+        if self._virtual_bp:
+            if self._chain_entry_dev is None or self._last_mv_dev is None:
+                return
+            if self._chain_pulled is not None:
+                bp, mv = self._chain_pulled
+                self._chain_pulled = None
+            else:
+                bp, mv = jax.device_get((self._chain_entry_dev,
+                                         self._last_mv_dev))
+            self._bp = np.asarray(bp).astype(np.int64)
+            self._last_m_valid = (None if self._last_skip
+                                  else np.asarray(mv).astype(bool))
+            self._virtual_bp = False
+            self._ref_frame = None
+        if self._bp is None:
             return
         self._bp_live = False
         eng = self.vo
@@ -973,6 +1291,9 @@ class SRBAStereoSLAMEstimator:
         sel = self._bp >= 0
         ids[sel] = self._ref_ids[self._bp[sel]]
         if self._last_m_valid is not None:
+            # fresh ids must not collide with estimator-minted keyframe ids
+            # (see StereoVOEngine.set_frame_ids)
+            eng._next_id = max(eng._next_id, self.next_match_id)
             ids = eng._mint_ids(ids, self._last_m_valid)
         eng._prev_ids = ids
         eng._cur_ids = ids
@@ -984,6 +1305,12 @@ class SRBAStereoSLAMEstimator:
         called when batched mode (re)starts after per-frame stepping."""
         self._last_m_valid = None
         self._bp_live = False
+        self._virtual_bp = False
+        self._ref_frame = None
+        self._chain_entry_dev = None
+        self._last_mv_dev = None
+        self._last_skip = False
+        self._chain_pulled = None
         if self.store.n_kfs == 0:
             self._bp = np.full(self.capacity, -1, np.int64)
             self._ref_ids = None
@@ -1001,7 +1328,7 @@ class SRBAStereoSLAMEstimator:
 
     def _finish_batched(self):
         """Resolve all speculative state; batched results become final."""
-        self._resolve_pending_checks()
+        self._resolve_pending_checks(with_chain=True)
         self._materialize_engine_ids()
 
     # ----------------------------------------------------------------- step

@@ -591,6 +591,12 @@ class StereoVOEngine:
         the last frame is promoted to a keyframe."""
         self._prev_ids = ids.copy()
         self._kf_id_set = set(kf_id_set)
+        # keep the engine's fresh-id sequence ABOVE every assigned id: the
+        # estimator mints keyframe ids from its own counter, and an
+        # engine-minted track id that numerically collides with a keyframe
+        # id would corrupt the tracked-from-last-KF membership counts
+        if len(ids) and (ids >= 0).any():
+            self._next_id = max(self._next_id, int(ids.max()) + 1)
 
     def reset_ids(self):
         self._kf_id_set = set()
