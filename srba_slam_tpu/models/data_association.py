@@ -347,7 +347,8 @@ def fused_check_write(
     j: jax.Array,                # frame index within the batch
     n_kfs: jax.Array,            # candidate count == speculative row index
     cam: StereoCamera,
-    key: jax.Array,
+    seed,                        # plain int (host RNG stream; the PRNG key
+    #   is built in-program — see query_and_associate_packed)
     n_query: int = 4,
     max_orb_distance_da: float = 60.0,
     residual_th: float = 30.0,
@@ -370,6 +371,7 @@ def fused_check_write(
     Returns (handles, new_store_arrays, new_db) where handles is the exact
     11-tuple the estimator's ``_kf_decide`` consumes.
     """
+    key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
     blob, new_arrays, new_db = _check_one_slot(
         feats, store_arrays, db, leaf_bits, weights, j, n_kfs,
         cam, key, n_query, max_orb_distance_da,
@@ -450,8 +452,9 @@ def fused_checks_batch(
     rows,                        # CHECK_SLOTS-tuple of python ints
     valids,                      # CHECK_SLOTS-tuple of python bools
     cam: StereoCamera,
-    keys: jax.Array,             # [CHECK_SLOTS, ...] PRNG key per slot
-    #   (already device-resident: outputs of jax.random.split)
+    seeds,                       # CHECK_SLOTS-tuple of python ints (host
+    #   RNG stream; PRNG keys are built in-program — see
+    #   query_and_associate_packed)
     n_query: int = 4,
     max_orb_distance_da: float = 60.0,
     residual_th: float = 30.0,
@@ -481,7 +484,8 @@ def fused_checks_batch(
     :func:`pack_check_outputs`)."""
     def body(carry, xs):
         arrays, db_ = carry
-        j, row, valid, key = xs
+        j, row, valid, seed = xs
+        key = jax.random.PRNGKey(seed)
 
         def run(_):
             return _check_one_slot(
@@ -507,7 +511,7 @@ def fused_checks_batch(
         (jnp.stack([jnp.int32(j) for j in js]),
          jnp.stack([jnp.int32(r) for r in rows]),
          jnp.stack([jnp.asarray(v) for v in valids]),
-         keys))
+         jnp.stack([jnp.asarray(sd, jnp.uint32) for sd in seeds])))
     return tuple(blobs), new_arrays, new_db
 
 
@@ -553,7 +557,7 @@ def pack_check_outputs(top_s, top_i, da: DAResult, frame,
 )
 def query_and_associate_packed(
     cur: FrameFeatures, store_arrays: KFArrays, db, leaf_bits, weights,
-    n_kfs, cam: StereoCamera, key,
+    n_kfs, cam: StereoCamera, seed,
     n_query: int = 4, max_orb_distance_da: float = 60.0,
     residual_th: float = 30.0, max_y_diff_epipolar: float = 2.0,
     filter_by_direction: bool = True, use_fund_matrix: bool = True,
@@ -561,7 +565,11 @@ def query_and_associate_packed(
     ransac_n_hyp: int = 128, debug: bool = False,
 ):
     """query_and_associate with blob-packed outputs (synchronous-check path
-    companion of fused_check_write)."""
+    companion of fused_check_write). ``seed`` is a PLAIN INT (host RNG
+    stream): it rides the dispatch RPC for free and the PRNG key is built
+    inside the program — a chained ``jax.random.split`` per check cost a
+    ~1-2 ms jitted dispatch each on tunneled runtimes."""
+    key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
     top_s, top_i, _cand, da = query_and_associate(
         cur, store_arrays, db, leaf_bits, weights, n_kfs, cam, key,
         n_query=n_query, max_orb_distance_da=max_orb_distance_da,

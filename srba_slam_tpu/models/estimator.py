@@ -415,7 +415,10 @@ class SRBAStereoSLAMEstimator:
         self._pose_dirty = False
         self.kf_stats: list[TStatsSRBA] = []
         self.step_log: list[StepResult] = []
-        self._da_key = jax.random.PRNGKey(7)
+        # DA RNG: a plain host counter; per-check seeds ride dispatch RPCs
+        # for free and PRNG keys are built in-program (a chained
+        # jax.random.split per check was a ~1-2 ms jitted dispatch each)
+        self._da_seed = 7
         self.query_log: list = []  # (frame_idx, scores, ids) per KF check
         from srba_slam_tpu.utils.debug_dumps import DebugDumper
 
@@ -1018,8 +1021,9 @@ class SRBAStereoSLAMEstimator:
         # planned checks dispatch together in ONE fused_checks_batch call
         # (_dispatch_planned_checks) — per-check dispatches paid the
         # tunneled runtime's ~5 ms per-jitted-call RPC overhead each.
-        self._da_key, sub = jax.random.split(self._da_key)
-        snap["da_key"] = self._da_key  # post-split: replay re-splits in order
+        sub = self._da_seed
+        self._da_seed += 1
+        snap["da_seed"] = self._da_seed  # post-consume: replay re-counts in order
         spec_entry = dict(
             handles=None, frame=None, frame_ref=(batch_rec["feats"], j),
             res=res, force=force_new_kf,
@@ -1028,7 +1032,7 @@ class SRBAStereoSLAMEstimator:
         self._spec.append(spec_entry)
         self._check_plan.append(dict(
             spec=spec_entry, feats=batch_rec["feats"], j=j, row=spec_row,
-            key=sub))
+            seed=sub))
         if predict_insert:
             # reset accumulators/thresholds, re-reference the track chains
             # to this frame (ids pending until resolution). The chain
@@ -1089,14 +1093,14 @@ class SRBAStereoSLAMEstimator:
             js = tuple(int(g["j"]) for g in grp) + (0,) * pad
             rows = tuple(int(g["row"]) for g in grp) + (0,) * pad
             valids = (True,) * n + (False,) * pad
-            keys = jnp.stack([g["key"] for g in grp]
-                             + [grp[-1]["key"]] * pad)
+            seeds = tuple(int(g["seed"]) for g in grp) + \
+                (int(grp[-1]["seed"]),) * pad
             with self.profiler.section("queryDB"):
                 blobs, new_arrays, new_db = fused_checks_batch(
                     grp[0]["feats"], self.store.arrays, self.bow._db,
                     self.bow._leaf_bits, self.bow._weights,
                     js, rows, valids,
-                    self.cam, keys,
+                    self.cam, seeds,
                     max_orb_distance_da=self.opts.max_orb_distance_da,
                     residual_th=self.opts.residual_th,
                     max_y_diff_epipolar=self.opts.max_y_diff_epipolar,
@@ -1205,7 +1209,7 @@ class SRBAStereoSLAMEstimator:
         self._last_m_valid = b_rec["h_lanes"]["m_valid"][j_c]
         self._last_skip = False
         self._ref_ids = snap["ref_ids"]
-        self._da_key = snap["da_key"]
+        self._da_seed = snap["da_seed"]
         if d["insert"]:
             # late insertion: the speculative row was written at the
             # DISPATCH-TIME row index, which may not equal the actual kf_id
@@ -1525,7 +1529,8 @@ class SRBAStereoSLAMEstimator:
 
         self.ensure_vocabulary(limit_fidx=self.frame_idx)
         m = self.opts.da_stage2_method
-        self._da_key, sub = jax.random.split(self._da_key)
+        sub = self._da_seed
+        self._da_seed += 1
         if n_kfs is None:
             n_kfs = self.store.n_kfs
         with self.profiler.section("queryDB"):
@@ -1929,6 +1934,7 @@ class SRBAStereoSLAMEstimator:
             return
         try:
             self.rba._pending = []  # failed/in-flight solves are not committable
+            self.rba._queued = []
             self._spec = []         # unresolved speculative checks likewise
             self._check_plan = []
             self.finalize(out_dir=out_dir)

@@ -105,7 +105,8 @@ class FleetSLAM:
         leaf_bits = e0.bow._leaf_bits
         weights = e0.bow._weights
 
-        def one(frame, store_arrays, db, n_kfs, key):
+        def one(frame, store_arrays, db, n_kfs, seed):
+            key = jax.random.PRNGKey(seed)
             return query_and_associate(
                 frame, store_arrays, db, leaf_bits, weights, n_kfs, cam, key,
                 max_orb_distance_da=opts.max_orb_distance_da,
@@ -272,19 +273,19 @@ class FleetSLAM:
                               *[e.store.arrays for e in self.ests])
         dbs = jnp.stack([e.bow._db for e in self.ests])
         n_kfs = jnp.asarray([e.store.n_kfs for e in self.ests], jnp.int32)
-        # advance the DA key ONLY for sequences that actually check this
+        # advance the DA seed ONLY for sequences that actually check this
         # step (their rows are the only consumed results) — otherwise a
         # sequence's RNG stream would depend on its fleet-mates' checks and
         # diverge from the same sequence run solo
         checking = {i for (i, _f, _r) in checks}
-        keys = []
+        seeds = []
         for i, e in enumerate(self.ests):
             if i in checking:
-                e._da_key, sub = jax.random.split(e._da_key)
-                keys.append(sub)
+                seeds.append(e._da_seed)
+                e._da_seed += 1
             else:
-                keys.append(e._da_key)  # computed-but-ignored row
-        keys = jnp.stack(keys)
+                seeds.append(e._da_seed)  # computed-but-ignored row
+        keys = jnp.asarray(seeds, jnp.uint32)
         # the DA change-in-pose solves seed themselves on device (Horn 3D-3D
         # inside the cascade) — no per-sequence host seeds ride along
         stores, dbs, n_kfs, keys = shard_batch(

@@ -150,14 +150,13 @@ def main():
     )
 
     feats = d["outs"][0]
-    keys = jnp.stack([jax.random.PRNGKey(i) for i in range(CHECK_SLOTS)])
     m = est.opts.da_stage2_method
     blobs, na, ndb = fused_checks_batch(
         feats, est.store.arrays, est.bow._db, est.bow._leaf_bits,
         est.bow._weights,
         tuple(range(CHECK_SLOTS)), tuple(
             est.store.n_kfs + i for i in range(CHECK_SLOTS)),
-        (True,) * CHECK_SLOTS, est.cam, keys,
+        (True,) * CHECK_SLOTS, est.cam, tuple(range(CHECK_SLOTS)),
         max_orb_distance_da=est.opts.max_orb_distance_da,
         residual_th=est.opts.residual_th,
         max_y_diff_epipolar=est.opts.max_y_diff_epipolar,
