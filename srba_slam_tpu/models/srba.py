@@ -149,7 +149,10 @@ class SRBAEngine:
         # (one-to-a-few commits stale) — the BA re-optimizes the whole window
         # from its spanning-tree init, so staleness only moves the LM start.
         self.lazy = lazy
-        self._pending: list[dict] = []
+        self._pending: list[dict] = []  # dispatched solve GROUPS (see
+        # _dispatch_queued): dict(blob=[WINDOW_SLOTS, row] device array,
+        # entries=[per-solve meta dicts])
+        self._queued: list[dict] = []   # built-but-undispatched windows
 
     # ------------------------------------------------------------------ hooks
     def loop_closure_detected(self, flag: bool = True):
@@ -615,14 +618,6 @@ class SRBAEngine:
                 r.cam_pose.ravel(), r.lm_pos.ravel(),
                 jnp.stack([r.cost_init, r.cost_final, r.obs_rmse,
                            r.obs_rmse_stg1])])
-        else:
-            from srba_slam_tpu.ops.window_ba import optimize_window_packed_blob
-
-            ints, floats = pack_window(cam_pose, cam_valid, lm_pos,
-                                       lm_base_loc, lm_valid, oc, ol, opx, ov)
-            res_blob = optimize_window_packed_blob(
-                jnp.asarray(ints), jnp.asarray(floats), C, L, O, self.cam,
-                **kw)
         info = NewKFInfo(
             kf_id=root,
             created_edges=created_edges,
@@ -634,42 +629,114 @@ class SRBAEngine:
             pending=True,
             truncated_obs=n_dropped,
         )
-        self._pending.append(dict(
+        entry = dict(
             root=root,
-            blob=res_blob,
             C=C, L=L,
             win_arr=win_arr,
             win_map=win_map,
             lms=lms,
             info=info,
             old_root_global=self.kf_global[root].copy(),
-        ))
+        )
+        if self.mesh is not None:
+            # mesh mode dispatched immediately above: a 1-entry group
+            self._pending.append(dict(blob=res_blob[None, :],
+                                      entries=[entry]))
+        else:
+            # queue; groups of WINDOW_SLOTS dispatch as ONE program (the
+            # per-solve jitted call cost ~2-7 ms of host RPC each through
+            # tunneled runtimes). Dispatching every full group EAGERLY keeps
+            # the device solving while the host resolves later insertions.
+            from srba_slam_tpu.ops.window_ba import WINDOW_SLOTS
+
+            ints, floats = pack_window(cam_pose, cam_valid, lm_pos,
+                                       lm_base_loc, lm_valid, oc, ol, opx, ov)
+            self._queued.append(dict(ints=ints, floats=floats,
+                                     C=C, L=L, O=O, entry=entry, kw=kw))
+            # eager HALF-group dispatch: waiting for a full group starves
+            # the device during the host's resolution walk (solves used to
+            # trickle per insert); half groups keep it fed at a quarter of
+            # the per-solve dispatch overhead
+            if len(self._queued) >= WINDOW_SLOTS // 2:
+                self._dispatch_queued()
         return info
 
-    _N_PENDING_HANDLES = 1  # one packed f32 blob per solve (per-array pull
-    # overhead on tunneled runtimes; see optimize_window_packed_blob)
+    def _dispatch_queued(self):
+        """Dispatch every built-but-undispatched window solve, grouped by
+        capacity bucket into WINDOW_SLOTS-slot batched programs (ONE jitted
+        call + one stacked upload per group instead of per solve)."""
+        q, self._queued = self._queued, []
+        if not q:
+            return
+        from srba_slam_tpu.ops.window_ba import (
+            WINDOW_SLOTS, optimize_windows_batch_blob,
+        )
+
+        i = 0
+        while i < len(q):
+            key = (q[i]["C"], q[i]["L"], q[i]["O"])
+            grp = [q[i]]
+            i += 1
+            while (i < len(q) and len(grp) < WINDOW_SLOTS
+                   and (q[i]["C"], q[i]["L"], q[i]["O"]) == key):
+                grp.append(q[i])
+                i += 1
+            g = len(grp)
+            pad = WINDOW_SLOTS - g
+            ints = np.stack([x["ints"] for x in grp]
+                            + [np.zeros_like(grp[0]["ints"])] * pad)
+            floats = np.stack([x["floats"] for x in grp]
+                              + [np.zeros_like(grp[0]["floats"])] * pad)
+            valids = np.arange(WINDOW_SLOTS) < g
+            blobs = optimize_windows_batch_blob(
+                jnp.asarray(ints), jnp.asarray(floats), jnp.asarray(valids),
+                *key, self.cam, **grp[0]["kw"])
+            self._pending.append(dict(blob=blobs,
+                                      entries=[x["entry"] for x in grp]))
+
+    _N_PENDING_HANDLES = 1  # one packed f32 blob per solve GROUP (per-array
+    # pull overhead on tunneled runtimes; see optimize_windows_batch_blob)
 
     def pending_device_arrays(self) -> tuple:
         """Device arrays of ALL in-flight window solves (oldest first, one
-        packed blob each), for merging into the caller's next bulk
-        device_get (empty tuple when nothing is pending)."""
+        packed blob per GROUP), for merging into the caller's next bulk
+        device_get (empty tuple when nothing is pending). Dispatches any
+        still-queued windows first."""
+        self._dispatch_queued()
         return tuple(p["blob"] for p in self._pending)
 
     def commit_pending(self, host_vals: tuple | None = None):
         """Write back every queued window solve in dispatch order.
         ``host_vals``, when given, must be the already-pulled numpy values of
-        ``pending_device_arrays()``."""
-        q, self._pending = self._pending, []
-        if not q:
+        ``pending_device_arrays()`` (one [WINDOW_SLOTS, row] array per
+        group)."""
+        self._dispatch_queued()
+        groups, self._pending = self._pending, []
+        if not groups:
             return
-        nh = self._N_PENDING_HANDLES
         if host_vals is None:
-            host_vals = bulk_pull(tuple(p["blob"] for p in q))
-        assert len(host_vals) == nh * len(q)
-        for i, p in enumerate(q):
-            self._commit_one(p, host_vals[nh * i: nh * (i + 1)])
+            host_vals = bulk_pull(tuple(p["blob"] for p in groups))
+        assert len(host_vals) == len(groups)
+        committed = []
+        for grp, rows in zip(groups, host_vals):
+            rows = np.asarray(rows)
+            if rows.ndim == 1:  # defensive: a flat single-solve blob
+                rows = rows[None]
+            for r, entry in enumerate(grp["entries"]):
+                self._commit_one(entry, (rows[r],), recompute=False)
+                committed.append(entry)
+        # ONE spanning-tree recompute for the whole commit burst (edges are
+        # the source of truth; per-solve recomputes were O(n_kfs) python
+        # each and only the final state is ever read — see _on_rba_commit)
+        for k, (_h, rel) in self.spanning_tree(0, allow_stale=True).items():
+            self.kf_global[k] = rel
+        if self.on_commit is not None:
+            for entry in committed:
+                self.on_commit(entry["root"], entry["old_root_global"],
+                               self.kf_global[entry["root"]].copy())
 
-    def _commit_one(self, p: dict, host_vals: tuple):
+    def _commit_one(self, p: dict, host_vals: tuple,
+                    recompute: bool = True):
         blob = np.asarray(host_vals[0])
         C, L = p["C"], p["L"]
         cam_opt_f = blob[: C * 6].reshape(C, 6)
@@ -698,8 +765,10 @@ class SRBAEngine:
         if m.any():
             self._edge_pose[np.nonzero(m)[0]] = se3_np.relative_batch(
                 cam_opt[wv[m]], cam_opt[wu[m]])
-        for k, (_h, rel) in self.spanning_tree(0, allow_stale=True).items():
-            self.kf_global[k] = rel
+        if recompute:
+            for k, (_h, rel) in self.spanning_tree(0,
+                                                   allow_stale=True).items():
+                self.kf_global[k] = rel
         lms = p["lms"]
         self.lm_pos[lms] = np.asarray(lm_opt_f, np.float64)[: len(lms)]
         info = p["info"]
@@ -708,13 +777,13 @@ class SRBAEngine:
         info.obs_rmse = float(rmse)
         info.obs_rmse_stg1 = float(rmse_stg1)
         info.pending = False
-        if self.on_commit is not None:
+        if recompute and self.on_commit is not None:
             self.on_commit(p["root"], p["old_root_global"],
                            self.kf_global[p["root"]].copy())
 
     def flush(self):
         """Force every queued window solve to land (no-op when none)."""
-        if self._pending:
+        if self._pending or self._queued:
             self.commit_pending()
 
     # -------------------------------------------------------------- exports

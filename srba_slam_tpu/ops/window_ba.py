@@ -231,6 +231,55 @@ def optimize_window_packed_blob(
     ])
 
 
+WINDOW_SLOTS = 8  # fixed group size of the batched window-solve program:
+# one compiled program per (C, L, O) bucket regardless of how many solves a
+# resolution queues (padded slots skip via lax.cond)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("C", "L", "O", "max_iters", "use_kernel",
+                              "stage1_iters", "use_kernel_stage1")
+)
+def optimize_windows_batch_blob(
+    ints: jax.Array,      # [WINDOW_SLOTS, ni] stacked pack_window ints
+    floats: jax.Array,    # [WINDOW_SLOTS, nf] stacked pack_window floats
+    valids: jax.Array,    # [WINDOW_SLOTS] bool
+    C: int, L: int, O: int,
+    cam: StereoCamera, kernel_param: float = 1.5, max_iters: int = 12,
+    use_kernel: bool = True,
+    w_prior_rot: float = 1000.0, w_prior_trans: float = 100.0,
+    stage1_iters: int = 0, use_kernel_stage1: bool = True,
+) -> jax.Array:
+    """Up to WINDOW_SLOTS queued window solves in ONE dispatch (lax.scan
+    over padded slots, invalid slots skipped via lax.cond). Through
+    tunneled runtimes each jitted CALL costs ~2-7 ms of host/RPC overhead
+    — a resolution that inserts a dozen keyframes paid that per solve.
+    Returns [WINDOW_SLOTS, C*6 + L*3 + 4] blobs (same row layout as
+    optimize_window_packed_blob)."""
+    blob_len = C * 6 + L * 3 + 4
+
+    def body(carry, xs):
+        ints_g, floats_g, valid = xs
+
+        def run(_):
+            win = unpack_window(ints_g, floats_g, C, L, O)
+            r = _optimize_window_impl(
+                win, cam, kernel_param, max_iters, use_kernel, 1e-4,
+                w_prior_rot, w_prior_trans, stage1_iters, use_kernel_stage1)
+            return jnp.concatenate([
+                r.cam_pose.ravel(), r.lm_pos.ravel(),
+                jnp.stack([r.cost_init, r.cost_final, r.obs_rmse,
+                           r.obs_rmse_stg1])])
+
+        def skip(_):
+            return jnp.zeros(blob_len, jnp.float32)
+
+        return carry, jax.lax.cond(valid, run, skip, None)
+
+    _, blobs = jax.lax.scan(body, None, (ints, floats, valids))
+    return blobs
+
+
 def shard_window_obs(win: BAWindow, mesh, axis: str = "obs") -> BAWindow:
     """Lay a window out for MESH-PARALLEL optimization: the observation
     arrays (the FLOP-heavy axis — every LM iteration contracts O x {C, L}

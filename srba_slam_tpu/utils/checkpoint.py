@@ -104,6 +104,7 @@ def load_state(est, path: str):
 
     rba = est.rba
     rba._pending = []
+    rba._queued = []
     rba.n_kfs = scalars["rba_n_kfs"]
     n_edges = len(data["rba_edge_u"])
     rba._edge_cap = max(64, 1 << max(n_edges - 1, 1).bit_length())

@@ -241,17 +241,17 @@ def test_fused_checks_batch_chains_and_pads(rng):
         db = jnp.zeros((max_kfs, w_pad), jnp.float32)
         return arrays, db
 
-    k0, k1 = jax.random.split(jax.random.PRNGKey(3))
+    s0, s1 = 100, 101  # plain-int DA seeds, as production passes
 
     # sequential reference: check kf0 at row 1, then kf1 at row 2 (the
     # second check must see the first's speculative row through the chain)
     arrays, db = fresh_state()
     (b0,), arrays, db = fused_check_write(
         feats, arrays, db, leaf_bits, weights, jnp.int32(0), jnp.int32(1),
-        CAM, k0)
+        CAM, s0)
     (b1,), arrays_ref, db_ref = fused_check_write(
         feats, arrays, db, leaf_bits, weights, jnp.int32(1), jnp.int32(2),
-        CAM, k1)
+        CAM, s1)
 
     # fused: same two checks + padded slots in ONE dispatch
     arrays, db = fresh_state()
@@ -259,9 +259,9 @@ def test_fused_checks_batch_chains_and_pads(rng):
     js = (0, 1) + (0,) * pad          # python scalars, as production passes
     rows = (1, 2) + (0,) * pad
     valids = (True, True) + (False,) * pad
-    keys = jnp.stack([k0, k1] + [k1] * pad)
+    seeds = (s0, s1) + (s1,) * pad
     blobs, arrays_f, db_f = fused_checks_batch(
-        feats, arrays, db, leaf_bits, weights, js, rows, valids, CAM, keys)
+        feats, arrays, db, leaf_bits, weights, js, rows, valids, CAM, seeds)
 
     np.testing.assert_array_equal(np.asarray(b0), np.asarray(blobs[0]))
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(blobs[1]))

@@ -219,7 +219,7 @@ def test_window_truncation_keeps_best_supported_landmarks(capsys):
     eng.define_new_keyframe(obs_for(0, list(range(20))), run_opt=False)
     eng.set_initial_kf_pose(np.array([0, 0, 0, 0, 0, 0.5]))
     eng.define_new_keyframe(obs_for(1, list(range(8))), run_opt=True)
-    sel = eng._pending[-1]["lms"]
+    sel = eng._queued[-1]["entry"]["lms"]
     # the 8 kept landmark indices must be the doubly-observed ones
     assert set(sel.tolist()) == set(range(8)), sel
     eng.flush()
