@@ -683,10 +683,12 @@ class SRBAEngine:
                 i += 1
             g = len(grp)
             pad = WINDOW_SLOTS - g
+            # pad with a COPY of the first window: the vmapped solve runs
+            # padded lanes too, and a real window is guaranteed benign
             ints = np.stack([x["ints"] for x in grp]
-                            + [np.zeros_like(grp[0]["ints"])] * pad)
+                            + [grp[0]["ints"]] * pad)
             floats = np.stack([x["floats"] for x in grp]
-                              + [np.zeros_like(grp[0]["floats"])] * pad)
+                              + [grp[0]["floats"]] * pad)
             valids = np.arange(WINDOW_SLOTS) < g
             blobs = optimize_windows_batch_blob(
                 jnp.asarray(ints), jnp.asarray(floats), jnp.asarray(valids),

@@ -235,6 +235,11 @@ WINDOW_SLOTS = 8  # fixed group size of the batched window-solve program:
 # one compiled program per (C, L, O) bucket regardless of how many solves a
 # resolution queues (padded slots skip via lax.cond)
 
+# vmap the group when the per-window [L, O] selector fits 8x in HBM
+# (8 x 2048 x 4096 f32 = 256 MB); the LC bucket (8192 x 16384 = 512 MB
+# per window) stays on the serial lax.scan path
+_VMAP_LO_LIMIT = 2048 * 4096
+
 
 @functools.partial(
     jax.jit, static_argnames=("C", "L", "O", "max_iters", "use_kernel",
@@ -250,31 +255,41 @@ def optimize_windows_batch_blob(
     w_prior_rot: float = 1000.0, w_prior_trans: float = 100.0,
     stage1_iters: int = 0, use_kernel_stage1: bool = True,
 ) -> jax.Array:
-    """Up to WINDOW_SLOTS queued window solves in ONE dispatch (lax.scan
-    over padded slots, invalid slots skipped via lax.cond). Through
+    """Up to WINDOW_SLOTS queued window solves in ONE dispatch. Through
     tunneled runtimes each jitted CALL costs ~2-7 ms of host/RPC overhead
     — a resolution that inserts a dozen keyframes paid that per solve.
+
+    Small buckets VMAP the group: the per-iteration ops of one window are
+    far below MXU size, so batching 8 windows costs ~one window's wall
+    per LM iteration and the group runs in max(iters_i) lock-step
+    iterations instead of sum(iters_i) serial ones. The LC bucket keeps
+    the serial lax.scan (its [L, O] one-hot selector is 512 MB/window —
+    8x that would crowd HBM), with invalid slots skipped via lax.cond.
+    Callers pad invalid slots with a COPY of a valid window (benign
+    through the vmapped solve); either path zeroes invalid output rows.
     Returns [WINDOW_SLOTS, C*6 + L*3 + 4] blobs (same row layout as
     optimize_window_packed_blob)."""
     blob_len = C * 6 + L * 3 + 4
 
+    def one(ints_g, floats_g):
+        win = unpack_window(ints_g, floats_g, C, L, O)
+        r = _optimize_window_impl(
+            win, cam, kernel_param, max_iters, use_kernel, 1e-4,
+            w_prior_rot, w_prior_trans, stage1_iters, use_kernel_stage1)
+        return jnp.concatenate([
+            r.cam_pose.ravel(), r.lm_pos.ravel(),
+            jnp.stack([r.cost_init, r.cost_final, r.obs_rmse,
+                       r.obs_rmse_stg1])])
+
+    if L * O <= _VMAP_LO_LIMIT:
+        blobs = jax.vmap(one)(ints, floats)
+        return jnp.where(valids[:, None], blobs, jnp.float32(0.0))
+
     def body(carry, xs):
         ints_g, floats_g, valid = xs
-
-        def run(_):
-            win = unpack_window(ints_g, floats_g, C, L, O)
-            r = _optimize_window_impl(
-                win, cam, kernel_param, max_iters, use_kernel, 1e-4,
-                w_prior_rot, w_prior_trans, stage1_iters, use_kernel_stage1)
-            return jnp.concatenate([
-                r.cam_pose.ravel(), r.lm_pos.ravel(),
-                jnp.stack([r.cost_init, r.cost_final, r.obs_rmse,
-                           r.obs_rmse_stg1])])
-
-        def skip(_):
-            return jnp.zeros(blob_len, jnp.float32)
-
-        return carry, jax.lax.cond(valid, run, skip, None)
+        return carry, jax.lax.cond(
+            valid, lambda _: one(ints_g, floats_g),
+            lambda _: jnp.zeros(blob_len, jnp.float32), None)
 
     _, blobs = jax.lax.scan(body, None, (ints, floats, valids))
     return blobs

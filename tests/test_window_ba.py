@@ -376,3 +376,69 @@ def test_sharded_window_at_loop_closure_bucket(rng):
     print(f"LC-bucket window solve (C={C},L={L},O={O}, 8 LM iters): "
           f"1-dev {t_1*1e3:.0f} ms, 8-dev sharded {t_8*1e3:.0f} ms "
           "(virtual CPU mesh — wall times indicative only)")
+
+
+def _pack_win(win):
+    from srba_slam_tpu.ops.window_ba import pack_window
+
+    return pack_window(
+        np.asarray(win.cam_pose), np.asarray(win.cam_valid),
+        np.asarray(win.lm_pos), np.asarray(win.lm_base),
+        np.asarray(win.lm_valid), np.asarray(win.obs_cam),
+        np.asarray(win.obs_lm), np.asarray(win.obs_px),
+        np.asarray(win.obs_valid))
+
+
+def test_batched_group_solve_matches_per_window(rng):
+    """The WINDOW_SLOTS group program (vmapped small-bucket path) returns
+    the same blobs as per-window dispatches; padded slots read zero."""
+    from srba_slam_tpu.ops.window_ba import (
+        WINDOW_SLOTS, optimize_window_packed_blob,
+        optimize_windows_batch_blob,
+    )
+
+    C, L, O = 8, 128, 512
+    kw = dict(kernel_param=1.5, max_iters=10, stage1_iters=2)
+    wins = [_make_window(rng, n_cams=3 + i, n_lms=40 + 7 * i, C=C, L=L, O=O,
+                         px_noise=0.3)[0] for i in range(3)]
+    packed = [_pack_win(w) for w in wins]
+    pad = WINDOW_SLOTS - len(packed)
+    # pad with a COPY of the first window (the dispatch-side contract)
+    ints = np.stack([p[0] for p in packed] + [packed[0][0]] * pad)
+    floats = np.stack([p[1] for p in packed] + [packed[0][1]] * pad)
+    valids = np.arange(WINDOW_SLOTS) < len(packed)
+    blobs = np.asarray(optimize_windows_batch_blob(
+        jnp.asarray(ints), jnp.asarray(floats), jnp.asarray(valids),
+        C, L, O, CAM, **kw))
+    assert blobs.shape == (WINDOW_SLOTS, C * 6 + L * 3 + 4)
+    for i, (pi, pf) in enumerate(packed):
+        solo = np.asarray(optimize_window_packed_blob(
+            jnp.asarray(pi), jnp.asarray(pf), C, L, O, CAM, **kw))
+        # same math batched vs solo: lock-step masked LM must not change
+        # any accepted step (tolerances absorb batched-op reassociation)
+        np.testing.assert_allclose(blobs[i], solo, rtol=1e-4, atol=1e-4)
+    assert not blobs[len(packed):].any()
+
+
+def test_batched_group_solve_scan_path(rng, monkeypatch):
+    """The big-bucket serial-scan path (forced via _VMAP_LO_LIMIT) agrees
+    with the per-window program and skips invalid slots."""
+    import srba_slam_tpu.ops.window_ba as wba
+
+    monkeypatch.setattr(wba, "_VMAP_LO_LIMIT", 0)
+    # fresh static shapes so the jit cache can't serve the vmapped trace
+    C, L, O = 8, 136, 520
+    kw = dict(kernel_param=1.5, max_iters=8)
+    win = _make_window(rng, n_cams=4, n_lms=50, C=C, L=L, O=O)[0]
+    pi, pf = _pack_win(win)
+    ints = np.stack([pi] * wba.WINDOW_SLOTS)
+    floats = np.stack([pf] * wba.WINDOW_SLOTS)
+    valids = np.zeros(wba.WINDOW_SLOTS, bool)
+    valids[0] = True
+    blobs = np.asarray(wba.optimize_windows_batch_blob(
+        jnp.asarray(ints), jnp.asarray(floats), jnp.asarray(valids),
+        C, L, O, CAM, **kw))
+    solo = np.asarray(wba.optimize_window_packed_blob(
+        jnp.asarray(pi), jnp.asarray(pf), C, L, O, CAM, **kw))
+    np.testing.assert_allclose(blobs[0], solo, rtol=1e-5, atol=1e-5)
+    assert not blobs[1:].any()

@@ -94,14 +94,13 @@ def main():
     from srba_slam_tpu.models.data_association import fused_check_write
 
     fb = jax.tree.map(lambda a: a[None], feat)  # [1, ...] pseudo batch
-    key = jax.random.PRNGKey(0)
 
     def chk(state):
         arrays, db = state
         h, a, d = fused_check_write(
             fb, arrays, db, est.bow._leaf_bits,
             est.bow._weights, jnp.int32(0), jnp.int32(est.store.n_kfs),
-            est.cam, key)
+            est.cam, 0)
         return (a, d), h
 
     # store/db are DONATED: thread them through the chain (est's store/BoW
