@@ -235,10 +235,17 @@ WINDOW_SLOTS = 8  # fixed group size of the batched window-solve program:
 # one compiled program per (C, L, O) bucket regardless of how many solves a
 # resolution queues (padded slots skip via lax.cond)
 
-# vmap the group when the per-window [L, O] selector fits 8x in HBM
-# (8 x 2048 x 4096 f32 = 256 MB); the LC bucket (8192 x 16384 = 512 MB
-# per window) stays on the serial lax.scan path
-_VMAP_LO_LIMIT = 2048 * 4096
+# Group-path selector: windows whose [L, O] selector is <= this limit run
+# VMAPPED (all WINDOW_SLOTS lanes, padded ones included); larger buckets run
+# a serial lax.scan with lax.cond SKIPPING invalid slots. MEASURED on the
+# live v5e (tools/group_solve_probe.py, min of 3 in-process repeats, bucket
+# C=16/L=1024/O=2048): scan 52/63/103 ms vs vmap 104/112/108 ms at fills
+# 2/4/8 — the per-window solve is compute/bandwidth-bound (~10-13 ms/window
+# on device), so lock-step vmap lanes for PADDED slots burn real FLOPs and
+# only break even at full groups, which the eager half-group dispatch
+# (models/srba.py) makes rare. Default 0 = always scan; the vmap branch is
+# kept (tests force it) for backends where per-dispatch latency dominates.
+_VMAP_LO_LIMIT = 0
 
 
 @functools.partial(
@@ -259,12 +266,11 @@ def optimize_windows_batch_blob(
     tunneled runtimes each jitted CALL costs ~2-7 ms of host/RPC overhead
     — a resolution that inserts a dozen keyframes paid that per solve.
 
-    Small buckets VMAP the group: the per-iteration ops of one window are
-    far below MXU size, so batching 8 windows costs ~one window's wall
-    per LM iteration and the group runs in max(iters_i) lock-step
-    iterations instead of sum(iters_i) serial ones. The LC bucket keeps
-    the serial lax.scan (its [L, O] one-hot selector is 512 MB/window —
-    8x that would crowd HBM), with invalid slots skipped via lax.cond.
+    Two paths (chosen by ``_VMAP_LO_LIMIT``, see its comment for the v5e
+    measurements): a serial lax.scan whose lax.cond SKIPS invalid slots
+    (default — the solve is compute-bound, so skipping beats lock-step),
+    and a vmapped variant that runs all lanes in max(iters_i) lock-step
+    LM iterations (wins only when per-dispatch latency dominates).
     Callers pad invalid slots with a COPY of a valid window (benign
     through the vmapped solve); either path zeroes invalid output rows.
     Returns [WINDOW_SLOTS, C*6 + L*3 + 4] blobs (same row layout as

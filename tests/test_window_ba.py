@@ -389,13 +389,18 @@ def _pack_win(win):
         np.asarray(win.obs_valid))
 
 
-def test_batched_group_solve_matches_per_window(rng):
-    """The WINDOW_SLOTS group program (vmapped small-bucket path) returns
-    the same blobs as per-window dispatches; padded slots read zero."""
+def test_batched_group_solve_matches_per_window(rng, monkeypatch):
+    """The WINDOW_SLOTS group program's VMAP path (forced via
+    _VMAP_LO_LIMIT; default is the serial scan — see the constant's v5e
+    measurements) returns the same blobs as per-window dispatches; padded
+    slots read zero."""
+    import srba_slam_tpu.ops.window_ba as wba
     from srba_slam_tpu.ops.window_ba import (
         WINDOW_SLOTS, optimize_window_packed_blob,
         optimize_windows_batch_blob,
     )
+
+    monkeypatch.setattr(wba, "_VMAP_LO_LIMIT", 10 ** 12)
 
     C, L, O = 8, 128, 512
     kw = dict(kernel_param=1.5, max_iters=10, stage1_iters=2)
@@ -420,12 +425,11 @@ def test_batched_group_solve_matches_per_window(rng):
     assert not blobs[len(packed):].any()
 
 
-def test_batched_group_solve_scan_path(rng, monkeypatch):
-    """The big-bucket serial-scan path (forced via _VMAP_LO_LIMIT) agrees
-    with the per-window program and skips invalid slots."""
+def test_batched_group_solve_scan_path(rng):
+    """The default serial-scan path agrees with the per-window program and
+    skips invalid slots (lax.cond)."""
     import srba_slam_tpu.ops.window_ba as wba
 
-    monkeypatch.setattr(wba, "_VMAP_LO_LIMIT", 0)
     # fresh static shapes so the jit cache can't serve the vmapped trace
     C, L, O = 8, 136, 520
     kw = dict(kernel_param=1.5, max_iters=8)
