@@ -5,10 +5,11 @@ reference's data-association filter 3 (reference
 src/CSRBAStereoSLAMEstimator.cpp:2015-2055, 2043, 2101): instead of the CPU's
 sequential hypothesis loop with early termination, a fixed batch of NH
 8-point hypotheses is solved simultaneously — the nullspace of each 8x9
-system via eigendecomposition of A^T A (batched 9x9 eigh, TPU-friendly; no
-SVD needed) — and all hypotheses score all correspondences at once with the
-symmetric epipolar distance. Fixed shapes, masked correspondences, no host
-sync.
+system via fully-unrolled batched Gram-Schmidt (``_nullvec_cgs2``; see its
+docstring for the eigh/QR/inverse-iteration comparison) — and all
+hypotheses score all
+correspondences at once with the symmetric epipolar distance. Fixed
+shapes, masked correspondences, no host sync.
 """
 
 from __future__ import annotations
@@ -42,6 +43,49 @@ def hypotheses_for_prob(fit_prob: float, inlier_ratio: float = 0.7,
     while n_hyp < n and n_hyp < max_hyp:
         n_hyp *= 2
     return n_hyp
+
+
+def _nullvec_cgs2(A: jax.Array) -> jax.Array:
+    """Unit nullspace vector of each exact 8x9 system in ``A`` [NH, 8, 9].
+
+    Fully-unrolled classical Gram-Schmidt with reorthogonalization (CGS2):
+    orthonormalize the 8 rows (projecting against a fixed [NH, 8, 9] basis
+    buffer — zero rows are projection no-ops, so no dynamic shapes), then
+    project a deterministic generic vector out of the row space. Everything
+    is a handful of batched einsums — no LAPACK-style factorization.
+
+    Chosen over the alternatives by measurement + f32 error analysis (one
+    fused check runs 640 of these):
+      * batched 9x9 ``eigh`` of A^T A: 8.7 ms device, residual ~1e-4 —
+        forming A^T A squares the conditioning, putting the two smallest
+        eigenvalues inside f32 noise;
+      * inverse iteration on A^T A: cheap but residual ~1e-2 (same
+        squared-conditioning problem — the eigengap is sub-noise);
+      * a fixed-coordinate gauge (f9=1): fails structurally — for
+        pure-translation motion (the automotive case) the true normalized
+        F has F33 = 0;
+      * batched Householder QR of A^T (complete): residual ~4e-7 but
+        ~2.8 ms device;
+      * CGS2 (this): residual ~2e-7, ~0.5 ms device.
+    Degenerate samples (rank < 8) orthonormalize to a zero row (guarded),
+    leaving an arbitrary-but-valid residual direction — the hypothesis
+    simply scores few inliers, the correct RANSAC treatment."""
+    nh = A.shape[0]
+    Q = jnp.zeros((nh, 8, 9), A.dtype)
+    for i in range(8):
+        v = A[:, i]
+        for _ in range(2):  # reorthogonalize: CGS2 ~ machine-eps orthogonality
+            c = jnp.einsum("hkj,hj->hk", Q, v, precision=_HI)
+            v = v - jnp.einsum("hkj,hk->hj", Q, c, precision=_HI)
+        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        v = jnp.where(n > 1e-12, v / jnp.maximum(n, 1e-30), 0.0)
+        Q = Q.at[:, i].set(v)
+    # deterministic generic start (symmetry-broken ones)
+    g = jnp.ones((nh, 9), A.dtype) + 0.01 * jnp.arange(9.0, dtype=A.dtype)
+    for _ in range(2):
+        c = jnp.einsum("hkj,hj->hk", Q, g, precision=_HI)
+        g = g - jnp.einsum("hkj,hk->hj", Q, c, precision=_HI)
+    return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-30)
 
 
 def _normalize_pts(x: jax.Array, y: jax.Array, w: jax.Array):
@@ -91,7 +135,10 @@ def ransac_fundamental(
     # the 8x9 system rank-deficient and the nullspace arbitrary)
     r = jax.random.uniform(key, (n_hyp, k))
     r = jnp.where(valid[None, :], r, 2.0)
-    idx = jnp.argsort(r, axis=1)[:, :8].astype(jnp.int32)  # [NH, 8]
+    # 8 smallest via top_k of the negation — a full [NH, K] argsort sorts
+    # 512-wide rows to keep 8 of them
+    _, idx = jax.lax.top_k(-r, 8)
+    idx = idx.astype(jnp.int32)  # [NH, 8]
 
     a_x1, a_y1 = nx1[idx], ny1[idx]
     a_x2, a_y2 = nx2[idx], ny2[idx]
@@ -102,9 +149,7 @@ def ransac_fundamental(
          a_x1, a_y1, ones],
         axis=-1,
     )  # [NH, 8, 9]
-    AtA = jnp.einsum("hij,hik->hjk", A, A, precision=_HI)  # [NH, 9, 9]
-    _, vecs = jnp.linalg.eigh(AtA)
-    F = vecs[..., 0].reshape(-1, 3, 3)                     # smallest eigenvector
+    F = _nullvec_cgs2(A).reshape(-1, 3, 3)
 
     # denormalize: F_px = T2^T F T1
     F = jnp.einsum("ji,hjk,kl->hil", T2, F, T1, precision=_HI)
