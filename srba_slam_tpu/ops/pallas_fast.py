@@ -254,7 +254,16 @@ _ORB_HALO = 16  # covers max |dy| of the pattern (13), rounded to 8-multiple
 
 
 def _make_orb_kernel(tile_h: int, wp: int, pairs):
-    def kernel(img_hbm, out_ref, band, sem):
+    # the 512 pattern samples share only ~27 distinct column shifts: roll
+    # the whole band ONCE per distinct dx up front and serve every sample
+    # as a cheap row slice of the pre-rolled copy — per-sample
+    # pltpu.rolls (512 of them) were the kernel's dominant cost (~2x
+    # overall kernel time, measured on v5e)
+    dxs = sorted({dx for (_dy1, dx1, _dy2, dx2) in pairs
+                  for dx in (dx1, dx2)})
+    dx_slot = {dx: i for i, dx in enumerate(dxs)}
+
+    def kernel(img_hbm, out_ref, band, rolled, sem):
         n = pl.program_id(0)
         i = pl.program_id(1)
         copy = pltpu.make_async_copy(
@@ -264,9 +273,13 @@ def _make_orb_kernel(tile_h: int, wp: int, pairs):
         copy.start()
         copy.wait()
 
+        for dx in dxs:
+            rolled[dx_slot[dx]] = (
+                pltpu.roll(band[:], (-dx) % wp, 1) if dx else band[:])
+
         def view(dy, dx):
-            rows = band[_ORB_HALO + dy:_ORB_HALO + dy + tile_h, :]
-            return pltpu.roll(rows, (-dx) % wp, 1) if dx else rows
+            return rolled[dx_slot[dx],
+                          _ORB_HALO + dy:_ORB_HALO + dy + tile_h, :]
 
         for j in range(8):
             acc = None
@@ -277,7 +290,7 @@ def _make_orb_kernel(tile_h: int, wp: int, pairs):
                 acc = word if acc is None else acc | word
             out_ref[0, j, :, :] = acc
 
-    return kernel
+    return kernel, len(dxs)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
@@ -305,8 +318,9 @@ def orb_bitplanes_pallas(blurred: jax.Array, tile_h: int = 40,
     imgs_p = jnp.pad(blurred,
                      ((0, 0), (_ORB_HALO, _ORB_HALO + pad), (0, wp - w)))
 
+    kernel, n_dx = _make_orb_kernel(tile_h, wp, pairs)
     return pl.pallas_call(
-        _make_orb_kernel(tile_h, wp, pairs),
+        kernel,
         grid=(n, gh),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 8, tile_h, wp), lambda ni, i: (ni, 0, i, 0),
@@ -314,6 +328,7 @@ def orb_bitplanes_pallas(blurred: jax.Array, tile_h: int = 40,
         out_shape=jax.ShapeDtypeStruct((n, 8, gh * tile_h, wp), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * _ORB_HALO, wp), jnp.float32),
+            pltpu.VMEM((n_dx, tile_h + 2 * _ORB_HALO, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

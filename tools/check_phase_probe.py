@@ -59,7 +59,7 @@ def main():
 
     def pull(x):
         leaf = jax.tree.leaves(x)[0]
-        jax.device_get(np.asarray(leaf).ravel()[:1])
+        jax.device_get(leaf.ravel()[0])
 
     out = {"backend": jax.devices()[0].platform, "n": args.n}
     variants = [

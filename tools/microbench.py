@@ -63,7 +63,9 @@ def main():
 
     def pull(x):
         leaf = jax.tree.leaves(x)[0]
-        jax.device_get(np.asarray(leaf).ravel()[:1])
+        # slice ON DEVICE before pulling (np.asarray would device_get the
+        # whole leaf — seconds for image-sized arrays through the tunnel)
+        jax.device_get(leaf.ravel()[0])
 
     n = args.n
     rows = []

@@ -52,7 +52,7 @@ def main():
     jax.device_get(np.asarray(lefts[:1, :1, :1]))
 
     def pull(d):
-        jax.device_get(np.asarray(jax.tree.leaves(d["pk"])[0]).ravel()[:1])
+        jax.device_get(jax.tree.leaves(d["pk"])[0].ravel()[0])
 
     out = {"backend": jax.devices()[0].platform, "B": B.BATCH, "n": args.n}
     o = est.vo.opts
