@@ -52,6 +52,18 @@ S_REJ_CONSISTENCY = 6
 _BIG = 1e9  # python float: a module-level jnp constant becomes a per-call
 # tunnel-transferred parameter on the axon backend (33 ms/call observed)
 
+# Iteration budget of the filter-4 change-in-pose GN solve. The VO engine
+# runs the reference LS schedule (30/30, demo ini LEAST_SQUARES); the DA
+# cascade seeds its solve with a robust Horn 3D-3D alignment (_horn_seed,
+# which the reference does not have), so GN starts near the basin and a
+# smaller budget reaches the same inlier classification — the lock-step
+# vmapped while_loop over the 5 candidates is gated by its SLOWEST lane,
+# so the cap is real device time (~4.8 ms of a ~6.5 ms check at 30/30).
+# Decision equivalence vs 30/30 is asserted by tests on the street
+# workload and the DA unit suite.
+DA_SOLVE_ITERS_STAGE1 = 12
+DA_SOLVE_ITERS_STAGE2 = 12
+
 
 class DAResult(NamedTuple):
     """Per-candidate-KF association results (S candidates, K features)."""
@@ -233,6 +245,8 @@ def _da_single(
             kernel_param=kernel_param,
             residual_threshold=residual_th,
             min_inliers=min_alive,
+            max_iters_initial=DA_SOLVE_ITERS_STAGE1,
+            max_iters=DA_SOLVE_ITERS_STAGE2,
         )
         pose, pose_ok, mean_res = sol.pose, sol.valid, sol.mean_residual
         residuals = sol.residuals

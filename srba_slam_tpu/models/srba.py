@@ -552,11 +552,17 @@ class SRBAEngine:
                 self.log(1, msg)
 
         # bucket the static shapes: typical small windows run a much cheaper
-        # compiled program than loop-closure-sized ones; at most four
+        # compiled program than loop-closure-sized ones; at most five
         # programs ever compile. The ladder reflects post-pruning shapes:
         # landmark/observation counts stay small (multi-obs landmarks only),
         # while deep spanning-tree balls still raise the camera count.
         buckets = [
+            # the street/KITTI workload's early-to-mid-run windows use
+            # <=~360 landmarks / ~900 observations after pruning (probed on
+            # the bench workload) — a (512, 1024) bucket runs their per-LM-
+            # iteration one-hot selector contractions at 1/4 the cost of
+            # the (1024, 2048) bucket they previously landed in
+            (min(8, p.win_cams), min(512, p.win_lms), min(1024, p.win_obs)),
             (min(8, p.win_cams), min(1024, p.win_lms), min(2048, p.win_obs)),
             (min(16, p.win_cams), min(1024, p.win_lms), min(2048, p.win_obs)),
             (p.win_cams, min(2048, p.win_lms), min(4096, p.win_obs)),
