@@ -222,7 +222,10 @@ def main():
 
     dev_fps = 0.0
     link_mbps = None
-    for _rep in range(min(3, repeats)):
+    # max over all repeats: each timed pass is ~0.4 s, so extra repeats are
+    # cheap insurance against the pool's 2x contention spread (the probe
+    # tools measure 150+ fps; a 3-repeat max recorded 141.6 the same hour)
+    for _rep in range(min(5, repeats)):
         if _rep:
             time.sleep(REPEAT_GAP_S)
         est = _build_estimator(cam)

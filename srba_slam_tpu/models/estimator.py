@@ -2030,6 +2030,32 @@ class SRBAStereoSLAMEstimator:
                 os.path.join(out_dir, "final_global_path.ply"),
                 self.final_poses, np.asarray(lms) if lms else None,
             )
+            # interactive equivalent of the reference's live 3D window
+            # (.cpp:1262-1338): one self-contained HTML file — orbit/zoom/
+            # pan over trajectory + landmarks + typed kf2kf edges + frusta
+            # + the BoW score bars; works offline in any browser
+            from srba_slam_tpu.utils.html_viewer import write_map_viewer
+
+            q_scores_v = None
+            if self.query_log:
+                _f, sc, qids = self.query_log[-1]
+                q_scores_v = np.zeros(self.store.n_kfs)
+                for s_, i_ in zip(sc, qids):
+                    if 0 <= int(i_) < len(q_scores_v):
+                        q_scores_v[int(i_)] = s_
+            kinds = {0: "submap", 1: "base", 2: "lc"}
+            write_map_viewer(
+                os.path.join(out_dir, "map_viewer.html"),
+                self.final_poses,
+                landmarks=np.asarray(lms) if lms else None,
+                edges=[(self.rba._edge_u[e], self.rba._edge_v[e],
+                        kinds.get(int(self.rba._edge_kind[e]), "submap"))
+                       for e in range(self.rba.n_edges)],
+                query_scores=q_scores_v,
+                query_score_th=self.opts.query_score_th,
+                kf_frames=[r.frame_idx for r in self.step_log
+                           if r.inserted_kf is not None],
+            )
             if self.general.show3D:
                 # headless stand-in for the live 3D window (≙ show3D)
                 from srba_slam_tpu.utils.viz import render_map_png

@@ -41,3 +41,31 @@ def test_verbose_logger(capsys):
     log(2, "chatty")
     out = capsys.readouterr().out
     assert "important" in out and "chatty" not in out
+
+
+def test_html_map_viewer(tmp_path, rng):
+    """The interactive map viewer is one self-contained HTML file whose
+    embedded JSON round-trips the scene (≙ the reference's live 3D window
+    + BoW score bars, reference .cpp:1262-1338, utils.cpp:101-151)."""
+    import json
+    import re
+
+    from srba_slam_tpu.utils.html_viewer import write_map_viewer
+
+    poses = np.zeros((6, 6))
+    poses[:, 3] = np.arange(6)
+    poses[:, 1] = 0.1  # nonzero rotation exercises the frustum transform
+    lms = rng.normal(0, 5, (50, 3))
+    p = tmp_path / "map_viewer.html"
+    assert write_map_viewer(
+        str(p), poses, landmarks=lms,
+        edges=[(0, 1, "submap"), (1, 5, "lc")],
+        query_scores=[0.2, 0.8], query_score_th=0.05,
+        kf_frames=[0, 3, 6, 9, 12, 15])
+    html = p.read_text()
+    assert "<canvas" in html and "__DATA__" not in html
+    data = json.loads(re.search(r"const D = (\{.*?\});\n", html).group(1))
+    assert len(data["traj"]) == 6 and len(data["lms"]) == 50
+    assert data["edges"][1] == [1, 5, "lc"]
+    assert len(data["frusta"][0]) == 8  # 8 segments per camera frustum
+    assert data["qth"] == 0.05 and data["kf_frames"][1] == 3
