@@ -39,6 +39,13 @@ def main(argv=None):
                          "lockstep, sharded over the device mesh "
                          "(parallel.fleet); per-sequence outputs land in "
                          "<out_dir>/seq<i>/")
+    ap.add_argument("--serve", type=int, nargs="?", const=0, default=None,
+                    metavar="PORT",
+                    help="serve a LIVE interactive map viewer over HTTP "
+                         "(stdlib server rooted at <out_dir>; PORT omitted "
+                         "= ephemeral). Browser equivalent of the "
+                         "reference's live 3D window; implies show3D-style "
+                         "per-keyframe snapshots")
     args = ap.parse_args(argv)
 
     import jax
@@ -52,6 +59,16 @@ def main(argv=None):
     est = SRBAStereoSLAMEstimator.from_config(args.config)
     est.initialize()
     print(f"[srba_slam_tpu] backend: {jax.devices()[0].platform}", flush=True)
+
+    if args.serve is not None:
+        from srba_slam_tpu.utils.live_server import start_live_server
+
+        # live snapshots ride the show3D hook (per-keyframe live_map.png/json)
+        est.general.show3D = True
+        _srv, port = start_live_server(est.general.out_dir or "out",
+                                       args.serve)
+        print(f"[srba_slam_tpu] live map viewer: http://localhost:{port}/",
+              flush=True)
     if est.general.verbose_level >= 1:
         from srba_slam_tpu.config import dump_options
 

@@ -1436,6 +1436,8 @@ class SRBAStereoSLAMEstimator:
         res.inserted_kf = kf_id
         res.n_stereo_matches = vo.num_stereo_matches
         self.kf_stats.append(TStatsSRBA(0.0, 1, int((ids >= 0).sum()), 0))
+        if self.general.show3D:
+            self._live_viz_snapshot()  # live view exists from KF0 on
 
     def _buffer_voc_frame(self, frame=None, feats=None, j: int = 0):
         """Accumulate a processed frame's descriptors for the fallback
@@ -1761,7 +1763,9 @@ class SRBAStereoSLAMEstimator:
         LIVE CDisplayWindow3D updates, .cpp:1262-1338): overwrite
         ``<out_dir>/live_map.png`` with the current trajectory + the latest
         BoW query bars after every insertion, so a long run can be watched
-        mid-flight. finalize() still renders the final optimized map."""
+        mid-flight — plus ``live_map.json``, the payload the live browser
+        viewer (utils/live_server, ``--serve``) polls once a second.
+        finalize() still renders the final optimized map."""
         out_dir = self.general.out_dir or "out"
         try:
             from srba_slam_tpu.utils.viz import render_map_png
@@ -1781,8 +1785,35 @@ class SRBAStereoSLAMEstimator:
                 self.rba.kf_global[:n], query_scores=q_scores,
                 query_score_th=self.opts.query_score_th, plane=(0, 2),
             )
+            self._write_live_json(out_dir, q_scores)
         except Exception as exc:  # viz must never kill the pipeline
             self.log(1, f"live viz snapshot failed: {exc!r}")
+
+    def _write_live_json(self, out_dir: str, q_scores=None):
+        """Dump the current (mid-run, pre-epilogue) map as live_map.json for
+        the polling browser viewer. Atomic rename so the poller never reads
+        a half-written file."""
+        import json as _json
+
+        from srba_slam_tpu.utils.html_viewer import build_map_data
+
+        n = self.store.n_kfs
+        kinds = {0: "submap", 1: "base", 2: "lc"}
+        data = build_map_data(
+            self.rba.kf_global[:n],
+            edges=[(self.rba._edge_u[e], self.rba._edge_v[e],
+                    kinds.get(int(self.rba._edge_kind[e]), "submap"))
+                   for e in range(self.rba.n_edges)],
+            query_scores=q_scores,
+            query_score_th=self.opts.query_score_th,
+            kf_frames=[r.frame_idx for r in self.step_log
+                       if r.inserted_kf is not None],
+            title="srba_slam_tpu live map (camera frame, mid-run)",
+        )
+        tmp = os.path.join(out_dir, ".live_map.json.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(data, f)
+        os.replace(tmp, os.path.join(out_dir, "live_map.json"))
 
     @property
     def current_world_pose(self) -> np.ndarray:

@@ -36,11 +36,11 @@ def _frustum_segments(pose: np.ndarray, scale: float = 0.6) -> list:
     return [[pts[a].tolist(), pts[b].tolist()] for a, b in idx]
 
 
-def write_map_viewer(path: str, poses: np.ndarray, landmarks=None,
-                     edges=None, gt_poses=None, query_scores=None,
-                     query_score_th=None, kf_frames=None,
-                     title: str = "srba_slam_tpu map viewer") -> bool:
-    """Write the interactive viewer. ``poses``: [N, 6] world keyframe poses
+def build_map_data(poses: np.ndarray, landmarks=None, edges=None,
+                   gt_poses=None, query_scores=None, query_score_th=None,
+                   kf_frames=None,
+                   title: str = "srba_slam_tpu map viewer") -> dict:
+    """The viewer's JSON payload. ``poses``: [N, 6] world keyframe poses
     (rotvec+trans); ``edges``: iterable of (u, v, kind) with kind in
     {"submap", "base", "lc"}; ``kf_frames``: per-KF source frame index."""
     poses = np.asarray(poses, np.float64).reshape(-1, 6)
@@ -49,7 +49,7 @@ def write_map_viewer(path: str, poses: np.ndarray, landmarks=None,
         lms = np.asarray(landmarks, np.float64).reshape(-1, 3)
         if len(lms) > _MAX_LMS:
             lms = lms[:: len(lms) // _MAX_LMS + 1]
-    data = {
+    return {
         "title": title,
         "traj": np.round(poses[:, 3:], 4).tolist(),
         "frusta": [_frustum_segments(p) for p in poses],
@@ -63,9 +63,31 @@ def write_map_viewer(path: str, poses: np.ndarray, landmarks=None,
         "kf_frames": ([int(f) for f in kf_frames]
                       if kf_frames is not None else []),
     }
+
+
+def write_map_viewer(path: str, poses: np.ndarray, landmarks=None,
+                     edges=None, gt_poses=None, query_scores=None,
+                     query_score_th=None, kf_frames=None,
+                     title: str = "srba_slam_tpu map viewer") -> bool:
+    """Write the interactive viewer with the map embedded (offline file)."""
+    data = build_map_data(poses, landmarks=landmarks, edges=edges,
+                          gt_poses=gt_poses, query_scores=query_scores,
+                          query_score_th=query_score_th, kf_frames=kf_frames,
+                          title=title)
     html = _TEMPLATE.replace("__DATA__", json.dumps(data))
     with open(path, "w") as f:
         f.write(html)
+    return True
+
+
+def write_live_viewer(path: str) -> bool:
+    """Write the LIVE variant: same renderer, but the payload is fetched
+    from a sibling ``live_map.json`` and re-polled every second — the
+    in-browser equivalent of the reference's live CDisplayWindow3D updates
+    (reference .cpp:1262-1338) for headless runs, served by
+    utils/live_server (``--serve``)."""
+    with open(path, "w") as f:
+        f.write(_TEMPLATE.replace("__DATA__", "null"))
     return True
 
 
@@ -86,17 +108,24 @@ _TEMPLATE = """<!DOCTYPE html>
 <div id="help">drag: orbit &nbsp; wheel: zoom &nbsp; shift-drag: pan
  &nbsp; click: nearest keyframe</div>
 <script>
-const D = __DATA__;
+const D0 = __DATA__;           // embedded payload, or null => LIVE mode
+const live = (D0 === null);
 const cv = document.getElementById('c'), ctx = cv.getContext('2d');
-const traj = D.traj, lms = D.lms, gt = D.gt;
-// scene center/extent
-let ctr=[0,0,0], pts=traj.concat(gt);
-if(!pts.length) pts=[[0,0,0]];
-for(const p of pts){ctr[0]+=p[0];ctr[1]+=p[1];ctr[2]+=p[2];}
-ctr=ctr.map(v=>v/pts.length);
-let ext=1; for(const p of pts){ext=Math.max(ext,
-  Math.hypot(p[0]-ctr[0],p[1]-ctr[1],p[2]-ctr[2]));}
-let yaw=-0.9, pitch=0.5, dist=ext*2.8, pan=[0,0], sel=-1;
+let D=null, traj=[], lms=[], gt=[];
+let ctr=[0,0,0], ext=1, yaw=-0.9, pitch=0.5, dist=1, pan=[0,0], sel=-1;
+let userMoved=false;
+function setData(d){
+  D=d; traj=D.traj; lms=D.lms; gt=D.gt;
+  if(userMoved) return;        // keep the user's camera once they moved it
+  let pts=traj.concat(gt);
+  if(!pts.length) pts=[[0,0,0]];
+  ctr=[0,0,0];
+  for(const p of pts){ctr[0]+=p[0];ctr[1]+=p[1];ctr[2]+=p[2];}
+  ctr=ctr.map(v=>v/pts.length);
+  ext=1; for(const p of pts){ext=Math.max(ext,
+    Math.hypot(p[0]-ctr[0],p[1]-ctr[1],p[2]-ctr[2]));}
+  dist=ext*2.8;
+}
 function proj(p){
   const cy=Math.cos(yaw),sy=Math.sin(yaw),cp=Math.cos(pitch),
         sp=Math.sin(pitch);
@@ -117,6 +146,8 @@ function line(a,b,st,wd,dash){const pa=proj(a),pb=proj(b);
 function draw(){
   cv.width=innerWidth; cv.height=innerHeight;
   ctx.fillStyle='#111'; ctx.fillRect(0,0,cv.width,cv.height);
+  if(!D){ctx.fillStyle='#888';
+    ctx.fillText('waiting for live_map.json ...',20,30);return;}
   // axes triad at scene center
   const ax=[[ext/3,0,0],[0,ext/3,0],[0,0,ext/3]],
         an=['#c44','#4a4','#48c'];
@@ -136,7 +167,8 @@ function draw(){
   traj.forEach((p,i)=>{const q=proj(p);
     if(q){ctx.beginPath();ctx.arc(q[0],q[1],i==sel?5:2.6,0,7);ctx.fill();}});
   const hud=document.getElementById('hud');
-  let t=D.title+'\\n'+traj.length+' keyframes  '+lms.length+' landmarks  '+
+  let t=D.title+(live?'  [LIVE]':'')+'\\n'
+      +traj.length+' keyframes  '+lms.length+' landmarks  '+
         D.edges.length+' edges ('+
         D.edges.filter(e=>e[2]=='lc').length+' loop closures)';
   if(sel>=0){const p=traj[sel];
@@ -158,7 +190,7 @@ function draw(){
   else {b.fillStyle='#888';b.fillText('no BoW query recorded',4,12);}
 }
 let drag=null;
-cv.onmousedown=e=>{drag=[e.clientX,e.clientY,e.shiftKey];};
+cv.onmousedown=e=>{drag=[e.clientX,e.clientY,e.shiftKey];userMoved=true;};
 window.onmousemove=e=>{if(!drag)return;
   const dx=e.clientX-drag[0], dy=e.clientY-drag[1];
   if(drag[2]){pan[0]+=dx;pan[1]+=dy;}
@@ -173,9 +205,14 @@ window.onmouseup=e=>{
       if(d<bd){bd=d;best=i;}});
     sel=best; draw();}
   drag=null;};
-cv.onwheel=e=>{e.preventDefault();
+cv.onwheel=e=>{e.preventDefault();userMoved=true;
   dist*=Math.exp(e.deltaY*0.0012); dist=Math.max(ext*0.2,dist); draw();};
 window.onresize=draw;
+if(live){
+  const poll=()=>fetch('live_map.json?t='+Date.now())
+    .then(r=>r.json()).then(d=>{setData(d);draw();}).catch(()=>{});
+  poll(); setInterval(poll, 1000);
+} else { setData(D0); }
 draw();
 </script></body></html>
 """

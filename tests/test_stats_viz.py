@@ -64,7 +64,7 @@ def test_html_map_viewer(tmp_path, rng):
         kf_frames=[0, 3, 6, 9, 12, 15])
     html = p.read_text()
     assert "<canvas" in html and "__DATA__" not in html
-    data = json.loads(re.search(r"const D = (\{.*?\});\n", html).group(1))
+    data = json.loads(re.search(r"const D0 = (\{.*?\});", html).group(1))
     assert len(data["traj"]) == 6 and len(data["lms"]) == 50
     assert data["edges"][1] == [1, 5, "lc"]
     assert len(data["frusta"][0]) == 8  # 8 segments per camera frustum
