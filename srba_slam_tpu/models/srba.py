@@ -59,7 +59,7 @@ class SRBAParams:
     # stage-1 (pose-only, new-edge refinement) kernel flag + iteration cap
     # (≙ rba.parameters.srba.use_robust_kernel_stage1, reference .cpp:1159)
     use_robust_kernel_stage1: bool = True
-    stage1_iters: int = 4
+    stage1_iters: int = 2
     kernel_param: float = 1.5
     std_noise_pixels: float = 0.5
     max_kfs: int = 512
@@ -73,7 +73,15 @@ class SRBAParams:
     win_cams: int = 32
     win_lms: int = 8192
     win_obs: int = 16384
-    opt_iters: int = 20
+    # LM iteration cap of the window solve. The loop already early-exits on
+    # quadratic-model convergence (ops/window_ba make_loop), so the cap only
+    # binds on hard windows — and each bound iteration is serial device time
+    # on the per-insertion critical path. Measured on the live v5e street
+    # workload (tools/ba_iters_probe.py, 2026-08-19): (stage1=2, opt=8) vs
+    # the old (4, 20) leaves every keyframe decision identical, max KF
+    # position delta 0.14 m pre-epilogue (the global pose-graph solve
+    # reconciles finals), and the KITTI-geometry ATE gate passes unchanged.
+    opt_iters: int = 8
     verbose: bool = False
 
 
