@@ -173,6 +173,14 @@ class SRBAStereoSLAMOptions:
     residual_th: float = 50.0
     query_score_th: float = 0.04    # "lost camera?" warning floor (utils.h:256)
     da_filter_by_direction: bool = True
+    # the other three DA-cascade gates (≙ reference utils.h:398-401 and
+    # their `if(srba_options.da_filter_by_*)` uses at .cpp:1500/:1589/:1617;
+    # defaults per utils.h:303-305). NOTE: in the reference these BOOLEANS
+    # gate the cascade stages — da_stage2_method only decides whether the
+    # change-in-pose solves get a pose-prior seed (.cpp:1372-1380)
+    da_filter_by_orb_distance: bool = True
+    da_filter_by_fund_matrix: bool = True
+    da_filter_by_pose_change: bool = True
     # stereo matching (VO MATCH section mirrors)
     max_y_diff: float = 2.0
     orb_max_distance: int = 60
@@ -197,6 +205,15 @@ class SRBAStereoSLAMOptions:
     # reference requires a prebuilt voc.yml.gz; training happens lazily at
     # the first keyframe check so it never blocks the pipeline start)
     voc_train_frames: int = 8
+    # framework extension: loop-closure edge validation against the
+    # accumulated-odometry drift budget (floor + frac * path length) plus a
+    # post-solve reprojection check with rollback — the global defense
+    # against perceptual aliasing the reference lacks (its only LC gate is
+    # tracked > 0.5*best, reference .cpp:482-521). See SRBAParams.lc_validate
+    lc_validate: bool = True
+    lc_reject_drift_frac: float = 0.05
+    lc_reject_floor_m: float = 0.35
+    lc_chi2_px: float = 3.0
     # camera
     camera: StereoCamera = field(default_factory=StereoCamera.kitti)
     camera_pose_on_robot: list[float] = field(default_factory=lambda: [0.0] * 6)
@@ -220,6 +237,12 @@ class SRBAStereoSLAMOptions:
         o.srba_kernel_param = cfg.read_float(s, "srba_kernel_param", o.srba_kernel_param)
         o.anchor_prior_w_rot = cfg.read_float(s, "anchor_prior_w_rot", o.anchor_prior_w_rot)
         o.anchor_prior_w_trans = cfg.read_float(s, "anchor_prior_w_trans", o.anchor_prior_w_trans)
+        o.lc_validate = cfg.read_bool(s, "lc_validate", o.lc_validate)
+        o.lc_reject_drift_frac = cfg.read_float(
+            s, "lc_reject_drift_frac", o.lc_reject_drift_frac)
+        o.lc_reject_floor_m = cfg.read_float(
+            s, "lc_reject_floor_m", o.lc_reject_floor_m)
+        o.lc_chi2_px = cfg.read_float(s, "lc_chi2_px", o.lc_chi2_px)
         s = "SRBA_DETECT"
         o.n_feats = cfg.read_int(s, "n_feats", o.n_feats)
         o.detect_fast_th = cfg.read_int(s, "detect_fast_th", o.detect_fast_th)
@@ -233,6 +256,12 @@ class SRBAStereoSLAMOptions:
         o.residual_th = cfg.read_float(s, "residual_th", o.residual_th)
         o.query_score_th = cfg.read_float(s, "query_score_th", o.query_score_th)
         o.da_filter_by_direction = cfg.read_bool(s, "da_filter_by_direction", o.da_filter_by_direction)
+        o.da_filter_by_orb_distance = cfg.read_bool(
+            s, "da_filter_by_orb_distance", o.da_filter_by_orb_distance)
+        o.da_filter_by_fund_matrix = cfg.read_bool(
+            s, "da_filter_by_fund_matrix", o.da_filter_by_fund_matrix)
+        o.da_filter_by_pose_change = cfg.read_bool(
+            s, "da_filter_by_pose_change", o.da_filter_by_pose_change)
         s = "SRBA_KF_CREATION"
         o.max_rotation = cfg.read_float(s, "max_rotation", o.max_rotation)
         o.max_translation = cfg.read_float(s, "max_translation", o.max_translation)

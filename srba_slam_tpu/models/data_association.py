@@ -170,8 +170,11 @@ def _da_single(
     use_fund_matrix: bool,
     use_change_pose: bool,
     kernel_param: float,
+    filter_by_orb_distance: bool = True,
     ransac_n_hyp: int = 128,
     min_alive: int = 15,
+    seed_from_init: bool = False,
+    init_gate_budget_m=0.0,
 ):
     (oy_l, ox_l, _oval_l, odesc_l, _oy_r, oxr, _ovr, _odesc_r, om_ridx,
      om_valid, opts3d, ooct) = oth_row
@@ -194,18 +197,22 @@ def _da_single(
         status = jnp.where(keep & ~ok, S_REJ_SLOPE, status).astype(jnp.int8)
         keep = keep & ok
 
-    # filter 2: ORB distance + 1-to-1 uniqueness (best wins)
-    ok = bd <= max_orb_distance_da
-    status = jnp.where(keep & ~ok, S_REJ_ORB, status).astype(jnp.int8)
-    keep = keep & ok
-    rows = jnp.arange(k, dtype=jnp.int32).astype(jnp.float32)
-    lex = jnp.where(keep, bd * k + rows, _BIG)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    claimed = cols == oidx[:, None]
-    col_best = jnp.min(jnp.where(claimed, lex[:, None], _BIG), axis=0)
-    ok = lex == col_best[oidx]
-    status = jnp.where(keep & ~ok, S_REJ_CONSISTENCY, status).astype(jnp.int8)
-    keep = keep & ok
+    # filter 2: ORB distance + 1-to-1 uniqueness (best wins); the whole
+    # block is gated by da_filter_by_orb_distance, exactly like the
+    # reference (.cpp:1500 wraps distance AND uniqueness in one `if`)
+    if filter_by_orb_distance:
+        ok = bd <= max_orb_distance_da
+        status = jnp.where(keep & ~ok, S_REJ_ORB, status).astype(jnp.int8)
+        keep = keep & ok
+        rows = jnp.arange(k, dtype=jnp.int32).astype(jnp.float32)
+        lex = jnp.where(keep, bd * k + rows, _BIG)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+        claimed = cols == oidx[:, None]
+        col_best = jnp.min(jnp.where(claimed, lex[:, None], _BIG), axis=0)
+        ok = lex == col_best[oidx]
+        status = jnp.where(keep & ~ok, S_REJ_CONSISTENCY,
+                           status).astype(jnp.int8)
+        keep = keep & ok
 
     # filter 3: fundamental-matrix RANSAC on left pixel pairs
     if use_fund_matrix:
@@ -237,8 +244,43 @@ def _da_single(
         # loop-closure candidates with large viewpoint change a zero start
         # converges to the wrong basin and rejects a true loop closure.
         # ``init_pose`` (explicit caller seed) is the fallback when the
-        # 3D-3D geometry is too thin.
-        seed = _horn_seed(opts3d[oidx], cur.pts3d, keep, init_pose)
+        # 3D-3D geometry is too thin. ``seed_from_init=True`` (the
+        # loop-closure RECOVERY re-check) instead FORCES the caller's
+        # odometry-implied seed: on perceptually-aliased worlds the Horn
+        # alignment locks the aliased consensus basin, while a GN started
+        # at the odometry prior keeps only the odometry-consistent (true)
+        # subset of the raw matches — the robust kernel downweights the
+        # period-offset aliases from the first iteration.
+        if seed_from_init:
+            seed = init_pose
+            # HARD pre-gate at the odometry prior (recovery path only): a
+            # robust kernel alone cannot outvote a dominant aliased
+            # consensus (Huber downweights, it does not zero), so matches
+            # whose reprojection residual AT the prior already exceeds
+            # what the drift budget allows are dropped before the solve.
+            # The pixel allowance is depth-adaptive: a budget_m offset at
+            # depth z subtends ~budget*fx/z pixels.
+            from srba_slam_tpu.utils import se3 as _se3g
+
+            p_pred = _se3g.transform_points(init_pose, opts3d[oidx])
+            zq = jnp.maximum(p_pred[:, 2], 1.0)
+            ulp = cam.cx_l + cam.fx_l * p_pred[:, 0] / zq
+            vlp = cam.cy_l + cam.fy_l * p_pred[:, 1] / zq
+            urp = cam.cx_r + cam.fx_r * (p_pred[:, 0] - cam.baseline) / zq
+            ur_cur = cur.xs_r[cur.m_r_idx].astype(jnp.float32)
+            e_px = jnp.maximum(
+                jnp.abs(ulp - cur.xs_l.astype(jnp.float32)),
+                jnp.maximum(jnp.abs(vlp - cur.ys_l.astype(jnp.float32)),
+                            jnp.abs(urp - ur_cur)))
+            allow = (jnp.asarray(init_gate_budget_m, jnp.float32)
+                     * cam.fx_l / zq + residual_th)
+            okg = (jnp.asarray(init_gate_budget_m, jnp.float32) <= 0.0) | \
+                (e_px <= allow)
+            status = jnp.where(keep & ~okg, S_REJ_CHANGE_POSE,
+                               status).astype(jnp.int8)
+            keep = keep & okg
+        else:
+            seed = _horn_seed(opts3d[oidx], cur.pts3d, keep, init_pose)
         sol = solve_pose(
             opts3d[oidx], obs, keep, cam,
             initial_pose=seed,
@@ -278,7 +320,7 @@ def _da_single(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("filter_by_direction", "use_fund_matrix", "use_change_pose",
+    static_argnames=("filter_by_direction", "filter_by_orb_distance", "use_fund_matrix", "use_change_pose",
                      "n_query", "ransac_n_hyp"),
 )
 def query_and_associate(
@@ -296,6 +338,7 @@ def query_and_associate(
     residual_th: float = 30.0,
     max_y_diff_epipolar: float = 2.0,
     filter_by_direction: bool = True,
+    filter_by_orb_distance: bool = True,
     use_fund_matrix: bool = True,
     use_change_pose: bool = True,
     kernel_param: float = 2.0,
@@ -338,6 +381,7 @@ def query_and_associate(
         residual_th=residual_th,
         max_y_diff_epipolar=max_y_diff_epipolar,
         filter_by_direction=filter_by_direction,
+        filter_by_orb_distance=filter_by_orb_distance,
         use_fund_matrix=use_fund_matrix,
         use_change_pose=use_change_pose,
         kernel_param=kernel_param,
@@ -348,7 +392,7 @@ def query_and_associate(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("filter_by_direction", "use_fund_matrix", "use_change_pose",
+    static_argnames=("filter_by_direction", "filter_by_orb_distance", "use_fund_matrix", "use_change_pose",
                      "n_query", "ransac_n_hyp", "debug"),
     donate_argnums=(1, 2),
 )
@@ -368,6 +412,7 @@ def fused_check_write(
     residual_th: float = 30.0,
     max_y_diff_epipolar: float = 2.0,
     filter_by_direction: bool = True,
+    filter_by_orb_distance: bool = True,
     use_fund_matrix: bool = True,
     use_change_pose: bool = True,
     kernel_param: float = 2.0,
@@ -391,7 +436,7 @@ def fused_check_write(
         cam, key, n_query, max_orb_distance_da,
         residual_th, max_y_diff_epipolar, filter_by_direction,
         use_fund_matrix, use_change_pose, kernel_param, ransac_n_hyp,
-        debug=debug)
+        filter_by_orb_distance=filter_by_orb_distance, debug=debug)
     return (blob,), new_arrays, new_db
 
 
@@ -399,7 +444,7 @@ def _check_one_slot(feats, store_arrays, db, leaf_bits, weights, j, row,
                     cam, key, n_query, max_orb_distance_da,
                     residual_th, max_y_diff_epipolar, filter_by_direction,
                     use_fund_matrix, use_change_pose, kernel_param,
-                    ransac_n_hyp, debug=False):
+                    ransac_n_hyp, filter_by_orb_distance=True, debug=False):
     """One deferred check: speculative row write + BoW query + DA cascade +
     output packing. Callers handle padding themselves — the batch program
     skips invalid slots entirely via ``lax.cond``."""
@@ -432,6 +477,7 @@ def _check_one_slot(feats, store_arrays, db, leaf_bits, weights, j, row,
         residual_th=residual_th,
         max_y_diff_epipolar=max_y_diff_epipolar,
         filter_by_direction=filter_by_direction,
+        filter_by_orb_distance=filter_by_orb_distance,
         use_fund_matrix=use_fund_matrix,
         use_change_pose=use_change_pose,
         kernel_param=kernel_param,
@@ -448,7 +494,7 @@ CHECK_SLOTS = 8  # fixed slot count: ONE compiled program regardless of how
 
 @functools.partial(
     jax.jit,
-    static_argnames=("filter_by_direction", "use_fund_matrix",
+    static_argnames=("filter_by_direction", "filter_by_orb_distance", "use_fund_matrix",
                      "use_change_pose", "n_query", "ransac_n_hyp", "debug"),
     donate_argnums=(1, 2),
 )
@@ -474,6 +520,7 @@ def fused_checks_batch(
     residual_th: float = 30.0,
     max_y_diff_epipolar: float = 2.0,
     filter_by_direction: bool = True,
+    filter_by_orb_distance: bool = True,
     use_fund_matrix: bool = True,
     use_change_pose: bool = True,
     kernel_param: float = 2.0,
@@ -507,7 +554,7 @@ def fused_checks_batch(
                 cam, key, n_query, max_orb_distance_da,
                 residual_th, max_y_diff_epipolar, filter_by_direction,
                 use_fund_matrix, use_change_pose, kernel_param, ransac_n_hyp,
-                debug=debug)
+                filter_by_orb_distance=filter_by_orb_distance, debug=debug)
 
         blob_len = jax.eval_shape(run, None)[0].shape[0]
 
@@ -566,7 +613,7 @@ def pack_check_outputs(top_s, top_i, da: DAResult, frame,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("filter_by_direction", "use_fund_matrix", "use_change_pose",
+    static_argnames=("filter_by_direction", "filter_by_orb_distance", "use_fund_matrix", "use_change_pose",
                      "n_query", "ransac_n_hyp", "debug"),
 )
 def query_and_associate_packed(
@@ -574,7 +621,8 @@ def query_and_associate_packed(
     n_kfs, cam: StereoCamera, seed,
     n_query: int = 4, max_orb_distance_da: float = 60.0,
     residual_th: float = 30.0, max_y_diff_epipolar: float = 2.0,
-    filter_by_direction: bool = True, use_fund_matrix: bool = True,
+    filter_by_direction: bool = True, filter_by_orb_distance: bool = True,
+    use_fund_matrix: bool = True,
     use_change_pose: bool = True, kernel_param: float = 2.0,
     ransac_n_hyp: int = 128, debug: bool = False,
 ):
@@ -589,6 +637,7 @@ def query_and_associate_packed(
         n_query=n_query, max_orb_distance_da=max_orb_distance_da,
         residual_th=residual_th, max_y_diff_epipolar=max_y_diff_epipolar,
         filter_by_direction=filter_by_direction,
+        filter_by_orb_distance=filter_by_orb_distance,
         use_fund_matrix=use_fund_matrix, use_change_pose=use_change_pose,
         kernel_param=kernel_param, ransac_n_hyp=ransac_n_hyp,
     )
@@ -634,7 +683,7 @@ def unpack_check_outputs(blob, s: int, k: int, nq: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("filter_by_direction", "use_fund_matrix", "use_change_pose",
+    static_argnames=("filter_by_direction", "filter_by_orb_distance", "use_fund_matrix", "use_change_pose",
                      "ransac_n_hyp"),
 )
 def da_cascade(
@@ -649,6 +698,7 @@ def da_cascade(
     residual_th: float = 30.0,
     max_y_diff_epipolar: float = 2.0,
     filter_by_direction: bool = True,
+    filter_by_orb_distance: bool = True,
     use_fund_matrix: bool = True,
     use_change_pose: bool = True,
     kernel_param: float = 2.0,
@@ -667,6 +717,7 @@ def da_cascade(
             cur, oth_row, ov, init, cam, kk,
             max_orb_distance_da, residual_th, max_y_diff_epipolar,
             filter_by_direction, use_fund_matrix, use_change_pose, kernel_param,
+            filter_by_orb_distance=filter_by_orb_distance,
             ransac_n_hyp=ransac_n_hyp,
         )
 
@@ -675,3 +726,54 @@ def da_cascade(
     tracked = jnp.where(others_valid, tracked, 0)
     return DAResult(status, oidx, tracked, pose, pose_ok & others_valid,
                     mean_res, raw_oidx, bd, residuals)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("filter_by_direction", "filter_by_orb_distance", "use_fund_matrix",
+                     "ransac_n_hyp"),
+)
+def recheck_candidate(
+    store_arrays: KFArrays,
+    row_new,                     # int: the (already written) new KF's row
+    row_old,                     # int: the rejected loop-closure candidate
+    cam: StereoCamera,
+    init_pose: jax.Array,        # f32 [6] odometry-implied candidate-in-new
+    seed,                        # plain int host RNG stream
+    max_orb_distance_da: float = 60.0,
+    residual_th: float = 30.0,
+    max_y_diff_epipolar: float = 2.0,
+    filter_by_direction: bool = True,
+    filter_by_orb_distance: bool = True,
+    use_fund_matrix: bool = True,
+    kernel_param: float = 2.0,
+    ransac_n_hyp: int = 128,
+    init_gate_budget_m=0.0,      # drift budget (m) of the hard pre-gate at
+    #   the odometry prior; traced scalar (0 disables)
+):  # noqa: E501
+    """Loop-closure RECOVERY re-check (framework extension; no reference
+    counterpart — the reference has no aliasing defense at all): re-run the
+    DA cascade for ONE candidate with the change-in-pose solve FORCED to
+    start from the odometry-implied relative pose instead of the Horn
+    appearance alignment (``seed_from_init``, see _da_single). Keeps only
+    the odometry-consistent subset of the raw matches, which on an aliased
+    world is the TRUE correspondence set. Both keyframes are read from the
+    store (the new KF's row is already written — speculatively or
+    committed). Returns (status [K], other_idx [K], tracked, pose [6])."""
+    oth_row = tuple(arr[row_old] for arr in store_arrays)
+    r = jax.tree.map(lambda a: a[row_new], store_arrays)
+    cur = FrameFeatures(
+        ys_l=r.ys_l, xs_l=r.xs_l, score_l=jnp.zeros_like(r.xs_l, jnp.float32),
+        valid_l=r.valid_l, desc_l=r.desc_l, ys_r=r.ys_r, xs_r=r.xs_r,
+        valid_r=r.valid_r, desc_r=r.desc_r, m_r_idx=r.m_r_idx,
+        m_valid=r.m_valid, pts3d=r.pts3d, octave=r.octave)
+    key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
+    (status, oidx, tracked, pose, _pose_ok, _mean_res, _raw_oidx, _bd,
+     _residuals) = _da_single(
+        cur, oth_row, jnp.asarray(True), init_pose.astype(jnp.float32), cam,
+        key, max_orb_distance_da, residual_th, max_y_diff_epipolar,
+        filter_by_direction, use_fund_matrix, True, kernel_param,
+        filter_by_orb_distance=filter_by_orb_distance,
+        ransac_n_hyp=ransac_n_hyp, seed_from_init=True,
+        init_gate_budget_m=init_gate_budget_m)
+    return status, oidx, tracked, pose

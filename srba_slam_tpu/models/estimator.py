@@ -255,6 +255,9 @@ class StepResult:
     kf_check: bool = False
     inserted_kf: int | None = None
     loop_closure_with: int | None = None
+    # confirmed LC whose edge the consistency validator later rejected
+    # (layer A at creation or layer B post-solve; see SRBAParams.lc_validate)
+    lc_rejected_with: int | None = None
     best_tracked: int = 0
     define_kf_ms: float = 0.0
 
@@ -351,6 +354,11 @@ class SRBAStereoSLAMEstimator:
             on_commit=self._on_rba_commit,
             lazy=True,
         )
+        self.rba.p.lc_validate = o.lc_validate
+        self.rba.p.lc_reject_drift_frac = o.lc_reject_drift_frac
+        self.rba.p.lc_reject_floor_m = o.lc_reject_floor_m
+        self.rba.p.lc_chi2_px = o.lc_chi2_px
+        self.rba.on_lc_reject = self._on_lc_reject
         # camera-on-robot extrinsic (≙ reference .cpp:1106-1112): the
         # configured pose (x y z, yaw pitch roll in degrees) composed with the
         # fixed (-90°, 0, -90°) image-to-camera axis swap. All INTERNAL
@@ -1072,7 +1080,6 @@ class SRBAStereoSLAMEstimator:
             CHECK_SLOTS, fused_checks_batch,
         )
 
-        m = self.opts.da_stage2_method
         # group by (feats identity, slot capacity): a group's js index into
         # ONE batch's feature arrays — a plan spanning two batches (never
         # produced today, but the flush sites tolerate leftovers) must not
@@ -1105,8 +1112,9 @@ class SRBAStereoSLAMEstimator:
                     residual_th=self.opts.residual_th,
                     max_y_diff_epipolar=self.opts.max_y_diff_epipolar,
                     filter_by_direction=self.opts.da_filter_by_direction,
-                    use_fund_matrix=m in (1, 3),
-                    use_change_pose=m in (2, 3),
+                    filter_by_orb_distance=self.opts.da_filter_by_orb_distance,
+                    use_fund_matrix=self.opts.da_filter_by_fund_matrix,
+                    use_change_pose=self.opts.da_filter_by_pose_change,
                     kernel_param=self.vo_opts.kernel_param,
                     ransac_n_hyp=self._ransac_n_hyp,
                     debug=self.debug.enabled,
@@ -1530,7 +1538,6 @@ class SRBAStereoSLAMEstimator:
         )
 
         self.ensure_vocabulary(limit_fidx=self.frame_idx)
-        m = self.opts.da_stage2_method
         sub = self._da_seed
         self._da_seed += 1
         if n_kfs is None:
@@ -1544,8 +1551,9 @@ class SRBAStereoSLAMEstimator:
                 residual_th=self.opts.residual_th,
                 max_y_diff_epipolar=self.opts.max_y_diff_epipolar,
                 filter_by_direction=self.opts.da_filter_by_direction,
-                use_fund_matrix=m in (1, 3),
-                use_change_pose=m in (2, 3),
+                filter_by_orb_distance=self.opts.da_filter_by_orb_distance,
+                use_fund_matrix=self.opts.da_filter_by_fund_matrix,
+                use_change_pose=self.opts.da_filter_by_pose_change,
                 kernel_param=self.vo_opts.kernel_param,
                 ransac_n_hyp=self._ransac_n_hyp,
                 debug=self.debug.enabled,
@@ -1726,6 +1734,19 @@ class SRBAStereoSLAMEstimator:
         with self.profiler.section("define_kf"):
             try:
                 info = self.rba.define_new_keyframe(obs, run_opt=True)
+                if (d["lc_confirmed"] is not None
+                        and self.rba.lc_rejects_last_insert):
+                    # the confirmed closure's edge failed the creation-time
+                    # consistency gate (aliased consensus): attempt the
+                    # odometry-seeded RECOVERY before giving the closure up
+                    tgt = self.rba._area_of(d["lc_confirmed"])
+                    if any(self.rba._area_of(u) == tgt
+                           for (u, _v) in self.rba.lc_rejects_last_insert):
+                        if not self._lc_recovery(d, info.kf_id,
+                                                 d["lc_confirmed"], ids,
+                                                 frame):
+                            res.lc_rejected_with = d["lc_confirmed"]
+                            res.loop_closure_with = None
                 if self.solve_sync:
                     self.rba.flush()
             except Exception as exc:
@@ -1803,7 +1824,8 @@ class SRBAStereoSLAMEstimator:
             self.rba.kf_global[:n],
             edges=[(self.rba._edge_u[e], self.rba._edge_v[e],
                     kinds.get(int(self.rba._edge_kind[e]), "submap"))
-                   for e in range(self.rba.n_edges)],
+                   for e in range(self.rba.n_edges)
+                   if self.rba._edge_valid[e]],
             query_scores=q_scores,
             query_score_th=self.opts.query_score_th,
             kf_frames=[r.frame_idx for r in self.step_log
@@ -1820,6 +1842,98 @@ class SRBAStereoSLAMEstimator:
         """Camera pose in the world/robot frame: E ∘ T_cam
         (≙ m_current_pose, reference .cpp:922, :1112)."""
         return se3_np.compose(self.sensor_pose, self.current_pose)
+
+    def _lc_recovery(self, d: dict, kf_id: int, lc_kf: int,
+                     ids: np.ndarray, frame) -> bool:
+        """Recover an aliasing-rejected confirmed loop closure (framework
+        extension; no reference counterpart). The creation-time gate just
+        proved the DA consensus disagrees with the odometry chain — but on
+        an aliased world the TRUE correspondences are usually present among
+        the raw matches, only outvoted by the period-offset consensus. So:
+        (1) re-run the single-candidate DA with the change-in-pose solve
+        seeded FROM the odometry-implied relative pose (recheck_candidate),
+        which keeps exactly the odometry-consistent subset; (2) if it
+        tracks enough (>= 15 and >= 0.5*best, the reference's own
+        confirmation bar), re-propagate those match IDs and re-attach the
+        observations to the far landmarks; (3) retry the loop-closure edge
+        (geometric seed + the same consistency gate + post-solve
+        validation). Mutates ``ids`` in place so the keyframe row commits
+        the recovered IDs. Returns True when the edge was re-created."""
+        from srba_slam_tpu.models.data_association import recheck_candidate
+
+        # the recovery IS an odometry-prior-seeded change-in-pose re-check:
+        # it only makes sense under a configuration whose DA uses pose-prior
+        # seeds and the change-pose stage at all (≙ the ST2M_CHANGEPOSE /
+        # ST2M_BOTH initialPose gate, reference .cpp:1372-1380)
+        if self.opts.da_stage2_method not in (2, 3) \
+                or not self.opts.da_filter_by_pose_change:
+            return False
+        if frame is not None:
+            # per-frame mode: the new KF's row is not in the store yet
+            self.store.write_row(frame, kf_id)
+        init = se3_np.relative(self.rba.kf_global[lc_kf],
+                               self.rba.kf_global[kf_id])
+        sub = self._da_seed
+        self._da_seed += 1
+        status, oidx, tracked, _pose = jax.device_get(recheck_candidate(
+            self.store.arrays, kf_id, lc_kf, self.cam,
+            jnp.asarray(init, jnp.float32), sub,
+            max_orb_distance_da=self.opts.max_orb_distance_da,
+            residual_th=self.opts.residual_th,
+            max_y_diff_epipolar=self.opts.max_y_diff_epipolar,
+            filter_by_direction=self.opts.da_filter_by_direction,
+            filter_by_orb_distance=self.opts.da_filter_by_orb_distance,
+            use_fund_matrix=self.opts.da_filter_by_fund_matrix,
+            kernel_param=self.vo_opts.kernel_param,
+            ransac_n_hyp=self._ransac_n_hyp,
+            # hard residual pre-gate at the odometry prior: without it the
+            # recovery GN converges back into the aliased basin (Huber
+            # downweights aliases, it does not zero them)
+            init_gate_budget_m=self.rba.lc_budget(lc_kf, kf_id),
+        ))
+        best = int(max(d["tracked"])) if len(d["tracked"]) else 0
+        if int(tracked) < max(15, int(0.5 * best)):
+            self.log(1, f"kf{kf_id}: LC recovery re-check tracked only "
+                        f"{int(tracked)} (need >= {max(15, int(0.5 * best))})")
+            return False
+        other_ids = self.store.match_ids[lc_kf]
+        used = {int(i) for i in ids if i >= 0}
+        pairs = []
+        sel = np.nonzero((status == S_TRACKED) & (ids >= 0))[0]
+        for f in sel:
+            new_id = int(other_ids[oidx[f]])
+            old_id = int(ids[f])
+            if new_id < 0:
+                continue
+            if new_id != old_id and new_id in used:
+                continue  # duplicate guard (≙ the foundIds guard, .cpp:596)
+            pairs.append((old_id, new_id))
+            if new_id != old_id:
+                ids[f] = new_id
+                used.add(new_id)
+        if not pairs:
+            return False
+        n_moved = self.rba.reassociate_obs(kf_id, pairs,
+                                           self.rba._area_of(lc_kf))
+        ok = self.rba.retry_lc_edge(kf_id, lc_kf)
+        self.log(1, f"kf{kf_id}: LC recovery vs kf{lc_kf}: tracked "
+                    f"{int(tracked)}, {len(pairs)} id updates, {n_moved} "
+                    f"obs re-attached, edge "
+                    f"{'created' if ok else 'NOT created'}")
+        return ok
+
+    def _on_lc_reject(self, root: int, target_center: int, stage: str):
+        """A loop-closure edge was rejected by the validator. For POST-SOLVE
+        (layer B) rejections the insertion already logged a confirmed LC;
+        move it to ``lc_rejected_with`` so trajectory consumers and tests
+        see the closure as withdrawn (creation-time rejections are handled
+        inline at :meth:`_kf_apply`)."""
+        if stage != "solve":
+            return
+        for r in self.step_log:
+            if r.inserted_kf == root and r.loop_closure_with is not None:
+                r.lc_rejected_with = r.loop_closure_with
+                r.loop_closure_with = None
 
     def _on_rba_commit(self, kf_id: int, old_global: np.ndarray,
                        new_global: np.ndarray):
@@ -1865,6 +1979,12 @@ class SRBAStereoSLAMEstimator:
             if (
                 lc_candidate is None
                 and s > 0.05
+                # never re-propose a candidate from an area pair a previous
+                # validation rejected (perceptual-aliasing blacklist)
+                and not self.rba.is_lc_blacklisted(
+                    self.rba._area_of(i), self.rba._area_of(prev_kf))
+                and not self.rba.is_lc_blacklisted(
+                    self.rba._area_of(i), cur_base)
                 and self.rba.topo_distance(cur_base, i, self.opts.lc_distance + 1)
                 > self.opts.lc_distance
             ):
@@ -2081,7 +2201,8 @@ class SRBAStereoSLAMEstimator:
                 landmarks=np.asarray(lms) if lms else None,
                 edges=[(self.rba._edge_u[e], self.rba._edge_v[e],
                         kinds.get(int(self.rba._edge_kind[e]), "submap"))
-                       for e in range(self.rba.n_edges)],
+                       for e in range(self.rba.n_edges)
+                   if self.rba._edge_valid[e]],
                 query_scores=q_scores_v,
                 query_score_th=self.opts.query_score_th,
                 kf_frames=[r.frame_idx for r in self.step_log

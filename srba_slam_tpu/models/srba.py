@@ -82,6 +82,27 @@ class SRBAParams:
     # position delta 0.14 m pre-epilogue (the global pose-graph solve
     # reconciles finals), and the KITTI-geometry ATE gate passes unchanged.
     opt_iters: int = 8
+    # ---- loop-closure validation (a framework EXTENSION: the reference's
+    # only LC gate is tracked > 0.5*best at confirmation, reference
+    # .cpp:482-521 — it has no defense against perceptual aliasing, where a
+    # geometrically-consistent consensus of repeating-texture matches seeds
+    # a long-range edge that folds the map). Two layers:
+    #   A. creation-time odometry-consistency gate: a long-range edge's
+    #      (geometric) pose seed must agree with the pose composed along the
+    #      existing graph to within floor + frac * path_length — bounded
+    #      accumulated VO drift is the one global invariant perceptual
+    #      aliasing cannot fake (the aliased offset is a world-texture
+    #      period, independent of path length).
+    #   B. post-solve validation of the committed window: the new KF's
+    #      observations of far-area landmarks must reproject within
+    #      lc_chi2_px, and the optimized LC edge must stay inside the layer-A
+    #      budget; a failure ROLLS BACK the solve (edge removed, window
+    #      poses/landmarks restored, mis-associated observations re-based,
+    #      window re-solved) and blacklists the area pair.
+    lc_validate: bool = True
+    lc_reject_drift_frac: float = 0.05
+    lc_reject_floor_m: float = 0.35
+    lc_chi2_px: float = 3.0
     verbose: bool = False
 
 
@@ -126,6 +147,9 @@ class SRBAEngine:
         self._edge_v = np.zeros(self._edge_cap, np.int32)
         self._edge_kind = np.zeros(self._edge_cap, np.int8)
         self._edge_pose = np.zeros((self._edge_cap, 6), np.float64)
+        # False = edge removed by a loop-closure rollback; slots are never
+        # reused (rare), consumers filter via edge_valid / the adj lists
+        self._edge_valid = np.ones(self._edge_cap, bool)
         self.n_edges = 0
         self.adj: dict[int, list[tuple[int, int]]] = {}  # kf -> [(nbr, edge)]
         self.kf_global = np.zeros((self.p.max_kfs, 6), np.float64)
@@ -133,6 +157,9 @@ class SRBAEngine:
         self._lm_cap = 4096
         self.lm_base = np.zeros(self._lm_cap, np.int32)
         self.lm_pos = np.zeros((self._lm_cap, 3), np.float64)
+        # match id that minted each landmark (inverse of _lm_lookup; needed
+        # to re-point a match id at a re-based landmark on LC rollback)
+        self.lm_match_id = np.full(self._lm_cap, -1, np.int64)
         self.n_lms = 0
         self._lookup_cap = 8192
         self._lm_lookup = np.full(self._lookup_cap, -1, np.int32)  # lm id -> idx
@@ -147,6 +174,14 @@ class SRBAEngine:
         self._lc_old_id: int | None = None
         self._initial_rel_pose: np.ndarray | None = None
         self.localmap_center = np.full(self.p.max_kfs, -1, np.int32)
+        # loop-closure validation state (see SRBAParams.lc_validate):
+        # blacklisted unordered area pairs, last-insert creation-time
+        # rejections [(target_center, new_kf)], and the owner's rollback
+        # callback on_lc_reject(root_kf, target_center, stage) with stage
+        # "create" (layer A) or "solve" (layer B)
+        self.lc_blacklist: set[tuple[int, int]] = set()
+        self.lc_rejects_last_insert: list[tuple[int, int]] = []
+        self.on_lc_reject = None
         # lazy=True defers window-solve pulls until flush()/commit_pending()
         # (the estimator merges them into its next bulk transfer); lazy=False
         # keeps the synchronous contract: results land before returning.
@@ -193,10 +228,13 @@ class SRBAEngine:
                 [self._edge_pose, np.zeros_like(self._edge_pose)])
             self._edge_kind = np.concatenate(
                 [self._edge_kind, np.zeros_like(self._edge_kind)])
+            self._edge_valid = np.concatenate(
+                [self._edge_valid, np.ones_like(self._edge_valid)])
         self._edge_u[e] = u
         self._edge_v[e] = v
         self._edge_pose[e] = np.asarray(pose_uv, np.float64)
         self._edge_kind[e] = kind
+        self._edge_valid[e] = True
         self.adj.setdefault(u, []).append((v, e))
         self.adj.setdefault(v, []).append((u, e))
         self.n_edges += 1
@@ -266,6 +304,234 @@ class SRBAEngine:
                     nxt.append(nbr)
             frontier = nxt
         return 1 << 30
+
+    # ------------------------------------------------- loop-closure validation
+    def _path_pose_len(self, root: int, exclude: frozenset = frozenset()):
+        """BFS from ``root`` returning {kf: (hops, pose_in_root_frame,
+        path_translation_length_m)}; ``exclude`` = edge ids to skip. The
+        per-edge translation norms accumulate into the drift budget of the
+        loop-closure consistency gate."""
+        out = {root: (0, np.zeros(6), 0.0)}
+        frontier = [root]
+        while frontier:
+            nxt = []
+            for k in frontier:
+                _h, pk, lk = out[k]
+                for nbr, e in self.adj.get(k, ()):
+                    if nbr in out or e in exclude:
+                        continue
+                    rel = self._edge_pose[e]
+                    if self._edge_u[e] != k:
+                        rel = se3_np.inverse(rel)
+                    out[nbr] = (out[k][0] + 1, se3_np.compose(pk, rel),
+                                lk + float(np.linalg.norm(rel[3:])))
+                    nxt.append(nbr)
+            frontier = nxt
+        return out
+
+    def _alt_path_entry(self, u: int, kf: int,
+                        exclude: frozenset = frozenset()):
+        """The ALTERNATIVE (non-loop-closure) pose chain u->kf: the BFS path
+        through the existing graph, or — when ``kf``'s only connection is
+        the very edge under scrutiny (``exclude``d) — the path to kf-1 plus
+        the odometry increment from the global pose chain. Returns
+        (hops, pose_of_kf_in_u_frame, path_translation_length_m) or None
+        when no chain reaches kf at all."""
+        paths = self._path_pose_len(u, exclude)
+        ent = paths.get(kf)
+        if ent is None:
+            prev = paths.get(kf - 1)
+            if prev is None:
+                return None
+            rel_prev = se3_np.relative(self.kf_global[kf],
+                                       self.kf_global[kf - 1])
+            ent = (prev[0] + 1, se3_np.compose(prev[1], rel_prev),
+                   prev[2] + float(np.linalg.norm(rel_prev[3:])))
+        return ent
+
+    def _lc_consistency(self, u: int, kf: int, pose_uv: np.ndarray,
+                        exclude: frozenset = frozenset()):
+        """Layer-A check: does a candidate long-range edge u->kf with pose
+        seed ``pose_uv`` agree with the pose composed along the EXISTING
+        graph (the odometry/graph chain), to within the accumulated-drift
+        budget floor + frac * path_length?
+
+        Perceptual aliasing produces edges offset by a world-texture period
+        — a constant, independent of how far the camera travelled — while
+        honest VO drift is bounded by a small fraction of path length, so
+        the budget separates them globally where no per-match filter can
+        (the aliased matches themselves are real and self-consistent).
+
+        Returns (ok, info dict). Short paths (< max_optimize_depth hops)
+        are trivially consistent — near edges compose from odometry.
+        """
+        ent = self._alt_path_entry(u, kf, exclude)
+        if ent is None:
+            return True, {}
+        hops, alt, plen = ent
+        if hops < self.p.max_optimize_depth:
+            return True, {}
+        d = float(np.linalg.norm(np.asarray(pose_uv)[3:] - alt[3:]))
+        budget = self.p.lc_reject_floor_m + self.p.lc_reject_drift_frac * plen
+        info = dict(disagreement_m=d, budget_m=budget, path_len_m=plen,
+                    hops=hops, alt=alt)
+        return d <= budget, info
+
+    def _area_of(self, kf: int) -> int:
+        c = int(self.localmap_center[kf])
+        return c if c >= 0 else int(kf)
+
+    def lc_budget(self, u: int, kf: int) -> float:
+        """Drift budget (meters) for a loop closure between area(u) and kf
+        along the current graph: floor + frac * path_length."""
+        ent = self._alt_path_entry(self._area_of(u), kf)
+        plen = ent[2] if ent is not None else 0.0
+        return self.p.lc_reject_floor_m + self.p.lc_reject_drift_frac * plen
+
+    def is_lc_blacklisted(self, a: int, b: int) -> bool:
+        """Has a loop closure between these two areas been rejected before?"""
+        return (min(a, b), max(a, b)) in self.lc_blacklist
+
+    def _reject_lc_edge(self, u: int, kf: int, stage: str, info: dict):
+        """Record + broadcast a loop-closure rejection (both layers)."""
+        pair = (min(self._area_of(u), self._area_of(kf)),
+                max(self._area_of(u), self._area_of(kf)))
+        self.lc_blacklist.add(pair)
+        self.lc_rejects_last_insert.append((u, kf))
+        why = (
+            "no coherent geometric seed from the shared observations"
+            if info.get("no_geometric_seed") else
+            f"pose disagrees with the graph chain by "
+            f"{info.get('disagreement_m', float('nan')):.2f} m over a "
+            f"{info.get('path_len_m', float('nan')):.1f} m path (budget "
+            f"{info.get('budget_m', float('nan')):.2f} m"
+            + (f", far-obs rmse {info['chi_px']:.2f} px"
+               if 'chi_px' in info else "") + ")")
+        print(
+            f"WARNING kf{kf}: loop-closure edge to area {u} REJECTED at "
+            f"{stage}: {why} — area pair {pair} blacklisted", flush=True)
+        if self.on_lc_reject is not None:
+            self.on_lc_reject(kf, u, stage)
+
+    def _triangulate_np(self, px: np.ndarray) -> np.ndarray:
+        """Host-side inverse stereo projection of px rows [N, 3] = (ul, vl,
+        ur) — the projectMatchTo3D formula (reference utils.h:558-574)."""
+        ul, vl, ur = px[..., 0], px[..., 1], px[..., 2]
+        c = self.cam
+        b_d = c.baseline / (c.fx_l * (c.cx_r - ur) + c.fx_r * (ul - c.cx_l))
+        return np.stack([b_d * c.fx_r * (ul - c.cx_l),
+                         b_d * c.fx_r * (vl - c.cy_l),
+                         b_d * c.fx_l * c.fx_r * np.ones_like(ul)], axis=-1)
+
+    def _rebase_far_obs(self, root: int, centers: set[int]) -> int:
+        """After rejecting a loop closure root->center, the root keyframe's
+        observations that were data-associated to landmarks of the rejected
+        far area(s) are MIS-associations (the aliased consensus). Re-base
+        each as a fresh landmark at root (position from its own stereo
+        triangulation) and re-point the match id so FUTURE tracks of the
+        feature observe the new landmark; the far landmark keeps its own
+        history. Returns the number of re-based observations."""
+        rows = np.nonzero(self.obs_kf[: self.n_obs] == root)[0]
+        n_moved = 0
+        for o in rows:
+            li = int(self.obs_lm[o])
+            base = int(self.lm_base[li])
+            if base == root or self._area_of(base) not in centers:
+                continue
+            mid = int(self.lm_match_id[li])
+            new_idx = self.n_lms
+            if new_idx == self._lm_cap:
+                self._lm_cap *= 2
+                self.lm_base = np.concatenate(
+                    [self.lm_base, np.zeros_like(self.lm_base)])
+                self.lm_pos = np.concatenate(
+                    [self.lm_pos, np.zeros_like(self.lm_pos)])
+                self.lm_match_id = np.concatenate(
+                    [self.lm_match_id,
+                     np.full_like(self.lm_match_id, -1)])
+            self.lm_base[new_idx] = root
+            self.lm_pos[new_idx] = self._triangulate_np(self.obs_px[o])
+            self.lm_match_id[new_idx] = mid
+            if mid >= 0:
+                self._lm_lookup[mid] = new_idx
+            self.obs_lm[o] = new_idx
+            self.n_lms += 1
+            n_moved += 1
+        return n_moved
+
+    def reassociate_obs(self, root: int, id_pairs: list[tuple[int, int]],
+                        target_area: int) -> int:
+        """Loop-closure recovery: re-point ``root``'s observations minted
+        under ``old_id`` onto the FAR landmark of ``new_id`` in
+        ``target_area`` (the odometry-consistent re-check's winner). The
+        rejection's ``_rebase_far_obs`` may have re-pointed ``new_id`` at a
+        root-based stand-in, so the far landmark is resolved through
+        ``lm_match_id`` + its base area, and the id mapping restored. The
+        displaced stand-in landmark is orphaned — single-observation
+        landmarks are inert in window solves. ``id_pairs`` =
+        [(old_match_id, new_match_id)]; pairs with old == new re-point the
+        re-based rows back onto the far landmark."""
+        n_moved = 0
+        for old_id, new_id in id_pairs:
+            if new_id < 0 or new_id >= self._lookup_cap:
+                continue
+            cands = np.nonzero(self.lm_match_id[: self.n_lms] == new_id)[0]
+            far = [c for c in cands
+                   if int(self.lm_base[c]) != root
+                   and self._area_of(int(self.lm_base[c])) == target_area]
+            if far:
+                new_lm = int(far[0])
+            else:
+                new_lm = int(self._lm_lookup[new_id])
+                if new_lm < 0 or int(self.lm_base[new_lm]) == root:
+                    continue  # no far geometry to re-attach to
+            old_lm = int(self._lm_lookup[old_id]) if \
+                0 <= old_id < self._lookup_cap else -1
+            if old_lm < 0:
+                continue
+            rows = np.nonzero((self.obs_kf[: self.n_obs] == root)
+                              & (self.obs_lm[: self.n_obs] == old_lm))[0]
+            if not len(rows):
+                continue
+            self.obs_lm[rows] = new_lm
+            self._lm_lookup[new_id] = new_lm
+            if old_id != new_id:
+                self._lm_lookup[old_id] = -1  # orphan the stand-in
+            n_moved += len(rows)
+        return n_moved
+
+    def retry_lc_edge(self, root: int, target: int) -> bool:
+        """Loop-closure recovery (step 3): after the odometry-seeded
+        re-association, attempt the loop-closure edge target_area -> root
+        again — geometric seed from the (now odometry-consistent) shared
+        observations, layer-A gate, un-blacklist + window re-solve on
+        success. Returns True when the edge was created."""
+        u = self._area_of(target)
+        if u == root:
+            return False
+        rows = np.nonzero(self.obs_kf[: self.n_obs] == root)[0]
+        obs_lm_idx = self.obs_lm[rows]
+        obs_pts = self._triangulate_np(self.obs_px[rows])
+        pose = self._geometric_edge_seed(u, root, obs_lm_idx, obs_pts)
+        if pose is None:
+            return False
+        ok, info = self._lc_consistency(u, root, pose)
+        if not ok:
+            self.log(1, f"kf{root}: recovery edge to area {u} still fails "
+                        f"the consistency gate "
+                        f"({info.get('disagreement_m', 0):.2f} m > "
+                        f"{info.get('budget_m', 0):.2f} m)")
+            return False
+        e = self._add_edge(u, root, pose, kind=2)
+        pair = (min(self._area_of(u), self._area_of(root)),
+                max(self._area_of(u), self._area_of(root)))
+        self.lc_blacklist.discard(pair)
+        print(f"kf{root}: loop closure to area {u} RECOVERED via "
+              f"odometry-seeded re-association (disagreement "
+              f"{info.get('disagreement_m', 0):.2f} m within budget "
+              f"{info.get('budget_m', 0):.2f} m)", flush=True)
+        self._dispatch_window_opt(root, [e])
+        return True
 
     # --------------------------------------------------- edge creation policy
     def _geometric_edge_seed(self, u: int, kf: int, obs_lm_idx: np.ndarray,
@@ -339,6 +605,39 @@ class SRBAEngine:
             g = self._geometric_edge_seed(u, v, obs_lm_idx, obs_pts)
             return g if g is not None else seed(u, v)
 
+        def try_far_edge(u, v, kind):
+            """Create a (potentially long-range) edge u->v, gated by the
+            layer-A odometry-consistency check and the rejection blacklist
+            (see SRBAParams.lc_validate). Returns the edge id or None."""
+            if p.lc_validate and self.is_lc_blacklisted(self._area_of(u),
+                                                        self._area_of(v)):
+                self.log(1, f"kf{v}: skipping edge to blacklisted area {u}")
+                self.lc_rejects_last_insert.append((u, v))
+                return None
+            g = self._geometric_edge_seed(u, v, obs_lm_idx, obs_pts)
+            pose = g if g is not None else seed(u, v)
+            if p.lc_validate:
+                ok, info = self._lc_consistency(u, v, pose)
+                if ok and info and g is None and kind == 2:
+                    # long-range loop-closure edge with NO coherent
+                    # geometric seed: the shared-observation geometry is
+                    # internally inconsistent (a mixed/aliased consensus) —
+                    # the drift-consistent fallback seed trivially passes
+                    # the gate but the window solve then drags the edge to
+                    # whatever the (wrong) observations agree on. Reject;
+                    # the estimator's recovery pass re-associates from the
+                    # odometry prior and retries with a clean seed.
+                    ok = False
+                    info = dict(info, no_geometric_seed=True)
+                if not ok:
+                    self._reject_lc_edge(u, v, "create", info)
+                    return None
+                if info:
+                    self.log(1, f"kf{v}: far edge to area {u} within "
+                                f"budget ({info['disagreement_m']:.2f} m <= "
+                                f"{info['budget_m']:.2f} m)")
+            return self._add_edge(u, v, pose, kind=kind)
+
         if not is_base:
             # mid-submap: single edge to the current localmap center
             self.localmap_center[kf] = cur_center
@@ -377,18 +676,24 @@ class SRBAEngine:
                          else None)
             if lc_target is not None and lc_target < 0:
                 lc_target = self._lc_old_id
-            created.append(
-                self._add_edge(top_center, kf, lc_seed(top_center, kf),
-                               kind=2 if top_center == lc_target else 1))
+            e0 = try_far_edge(top_center, kf,
+                              2 if top_center == lc_target else 1)
+            if e0 is None:
+                # the top-voted (possibly aliased) area was rejected: anchor
+                # the new base KF to the ODOMETRY predecessor's area instead
+                # so the graph stays connected along the travelled chain
+                fb = self._area_of(kf - 1)
+                e0 = self._add_edge(fb, kf, seed(fb, kf), kind=1)
+            created.append(e0)
             # extra edges: far-away well-supported areas => loop-closure edges
             for center, n in ranked[1:]:
                 if n < p.min_obs_to_loop_closure:
                     continue
                 if self.topo_distance(kf, center, p.max_optimize_depth + 1) \
                         >= p.max_optimize_depth:
-                    created.append(
-                        self._add_edge(center, kf, lc_seed(center, kf),
-                                       kind=2))
+                    e = try_far_edge(center, kf, 2)
+                    if e is not None:
+                        created.append(e)
         # explicit LC edge requested by the estimator's confirmation stage
         if self._lc_detected and self._lc_old_id is not None:
             target = int(self.localmap_center[self._lc_old_id])
@@ -397,8 +702,9 @@ class SRBAEngine:
             have = {int(self._edge_u[e]) for e in created} | \
                    {int(self._edge_v[e]) for e in created}
             if target not in have and target != kf:
-                created.append(
-                    self._add_edge(target, kf, lc_seed(target, kf), kind=2))
+                e = try_far_edge(target, kf, 2)
+                if e is not None:
+                    created.append(e)
         self._lc_detected = False
         self._lc_old_id = None
         return created
@@ -420,6 +726,7 @@ class SRBAEngine:
         kf = self.n_kfs
         assert kf < self.p.max_kfs
         self.n_kfs += 1
+        self.lc_rejects_last_insert = []
 
         # initial global pose estimate
         if kf == 0:
@@ -438,6 +745,16 @@ class SRBAEngine:
 
         created = [] if kf == 0 else self._edge_creation_policy(
             kf, obs_lm_idx, rel_pos)
+        if self.lc_rejects_last_insert:
+            # creation-time rejections: the DA consensus behind the rejected
+            # edge is a mis-association — re-base those observations as
+            # fresh landmarks at kf so they stop voting for the aliased area
+            centers = {self._area_of(u)
+                       for (u, v) in self.lc_rejects_last_insert if v == kf}
+            moved = self._rebase_far_obs(kf, centers)
+            if moved:
+                self.log(1, f"kf{kf}: re-based {moved} observations off "
+                            f"rejected area(s) {sorted(centers)}")
 
         if not run_opt or kf == 0:
             return NewKFInfo(kf, created, 0.0, 0.0, 0.0, 1, len(obs_lm_idx))
@@ -470,10 +787,13 @@ class SRBAEngine:
                     [self.lm_base, np.zeros_like(self.lm_base)])
                 self.lm_pos = np.concatenate(
                     [self.lm_pos, np.zeros_like(self.lm_pos)])
+                self.lm_match_id = np.concatenate(
+                    [self.lm_match_id, np.full_like(self.lm_match_id, -1)])
             new_idx = self.n_lms + np.arange(n_new)
             self._lm_lookup[lm_ids[new_mask]] = new_idx
             li[new_mask] = new_idx
             self.lm_base[new_idx] = kf
+            self.lm_match_id[new_idx] = lm_ids[new_mask]
             rel_new = rel_pos[new_mask]
             ok = np.isfinite(rel_new).all(axis=1)
             self.lm_pos[new_idx] = np.where(
@@ -606,6 +926,54 @@ class SRBAEngine:
         opx[:n_o] = self.obs_px[: self.n_obs][sel]
         ov[:n_o] = True
 
+        # layer-B validation plan: fresh loop-closure edges of THIS insertion
+        # get re-checked against the COMMITTED solve (post-solve edge pose vs
+        # the layer-A alternative-path budget + reprojection rmse of the new
+        # KF's far-area observations), with a full rollback on failure
+        lc_checks = []
+        lc_snap = None
+        if p.lc_validate and created_edges:
+            fresh_lc = [e for e in created_edges
+                        if self._edge_kind[e] == 2 and self._edge_valid[e]
+                        and int(self._edge_v[e]) == root]
+            exclude = frozenset(fresh_lc)
+            for e in fresh_lc:
+                u = int(self._edge_u[e])
+                u_loc = int(win_map[u]) if u < len(win_map) else -1
+                if u_loc < 0:
+                    continue  # capacity trimmed the far target: cannot check
+                # alternative chain EXCLUDING the fresh LC edges — when the
+                # LC edge is kf's only connection this rides the graph to
+                # kf-1 and appends the odometry increment, exactly like the
+                # creation-time gate did
+                ent = self._alt_path_entry(u, root, exclude)
+                if ent is None:
+                    continue  # nothing reaches root at all: cannot check
+                _hops, alt, plen = ent
+                rows = sel[obs_kf[sel] == root]
+                if len(rows):
+                    area_u = self._area_of(u)
+                    bases = self.lm_base[obs_lm[rows]]
+                    own_c = np.where(self.localmap_center[bases] >= 0,
+                                     self.localmap_center[bases], bases)
+                    rows = rows[own_c == area_u]
+                lc_checks.append(dict(
+                    e=e, u=u, u_loc=u_loc, alt=alt, plen=plen,
+                    budget=p.lc_reject_floor_m + p.lc_reject_drift_frac * plen,
+                    chi_ll=lm_map[obs_lm[rows]].copy(),
+                    chi_px=self.obs_px[rows].copy(),
+                ))
+            if lc_checks:
+                eu_all = self._edge_u[: self.n_edges]
+                ev_all = self._edge_v[: self.n_edges]
+                hi = len(win_map) - 1
+                both = (win_map[np.clip(eu_all, 0, hi)] >= 0) & \
+                       (win_map[np.clip(ev_all, 0, hi)] >= 0) & \
+                       self._edge_valid[: self.n_edges]
+                snap_idx = np.nonzero(both)[0]
+                lc_snap = (snap_idx, self._edge_pose[snap_idx].copy(),
+                           self.lm_pos[lms].copy())
+
         kw = dict(
             kernel_param=p.kernel_param,
             max_iters=p.opt_iters,
@@ -651,6 +1019,9 @@ class SRBAEngine:
             lms=lms,
             info=info,
             old_root_global=self.kf_global[root].copy(),
+            lc_checks=lc_checks,
+            lc_snap=lc_snap,
+            lm_base_loc=lm_base_loc.copy() if lc_checks else None,
         )
         if self.mesh is not None:
             # mesh mode dispatched immediately above: a 1-entry group
@@ -777,16 +1148,19 @@ class SRBAEngine:
         ev = self._edge_v[: self.n_edges]
         wu = win_map[eu]
         wv = win_map[ev]
-        m = (wu >= 0) & (wv >= 0)
+        m = (wu >= 0) & (wv >= 0) & self._edge_valid[: self.n_edges]
         if m.any():
             self._edge_pose[np.nonzero(m)[0]] = se3_np.relative_batch(
                 cam_opt[wv[m]], cam_opt[wu[m]])
+        lms = p["lms"]
+        self.lm_pos[lms] = np.asarray(lm_opt_f, np.float64)[: len(lms)]
+        if p.get("lc_checks"):
+            self._validate_committed_lc(p, cam_opt,
+                                        np.asarray(lm_opt_f, np.float64))
         if recompute:
             for k, (_h, rel) in self.spanning_tree(0,
                                                    allow_stale=True).items():
                 self.kf_global[k] = rel
-        lms = p["lms"]
-        self.lm_pos[lms] = np.asarray(lm_opt_f, np.float64)[: len(lms)]
         info = p["info"]
         info.cost_init = float(cost_init)
         info.cost_final = float(cost_final)
@@ -797,9 +1171,101 @@ class SRBAEngine:
             self.on_commit(p["root"], p["old_root_global"],
                            self.kf_global[p["root"]].copy())
 
+    def _remove_edge(self, e: int):
+        """Invalidate edge ``e`` (loop-closure rollback). The slot stays
+        allocated (rare event, and pending window entries reference edge
+        ids); adjacency and all exports drop it immediately."""
+        if not self._edge_valid[e]:
+            return
+        self._edge_valid[e] = False
+        u, v = int(self._edge_u[e]), int(self._edge_v[e])
+        self.adj[u] = [t for t in self.adj.get(u, []) if t[1] != e]
+        self.adj[v] = [t for t in self.adj.get(v, []) if t[1] != e]
+
+    def _validate_committed_lc(self, entry: dict, cam_opt: np.ndarray,
+                               lm_opt: np.ndarray):
+        """Layer-B check on the COMMITTED window solve (see SRBAParams):
+        each fresh loop-closure edge must (a) stay inside the layer-A
+        odometry-disagreement budget after optimization, (b) leave the
+        new KF's far-area observations reprojecting within ``lc_chi2_px``,
+        and (c) not DRAG the far area's own landmarks: the median base-frame
+        displacement of the checked landmarks must stay inside the same
+        drift budget. (c) closes the absorption hole in (a)+(b): a
+        per-landmark-consistent wrong consensus moves the LANDMARKS to fit
+        the new observations (the robust kernel downweights the far area's
+        own history), leaving pose and residuals clean while the area's map
+        silently folds. Failures roll the solve back. Runs on the
+        window-local result (the window is rooted at the new KF, so the
+        root sits at identity)."""
+        failed = []
+        snap_lm = entry["lc_snap"][2]
+        for chk in entry["lc_checks"]:
+            if not self._edge_valid[chk["e"]]:
+                continue
+            t_u_root = se3_np.inverse(cam_opt[chk["u_loc"]])
+            d = float(np.linalg.norm(t_u_root[3:]
+                                     - np.asarray(chk["alt"])[3:]))
+            chi = 0.0
+            drag = 0.0
+            ll = chk["chi_ll"]
+            if len(ll):
+                wb = entry["lm_base_loc"][ll]
+                pts = se3_np.transform_points_by_pose(cam_opt[wb], lm_opt[ll])
+                c = self.cam
+                z = np.maximum(pts[:, 2], 1e-6)
+                ul = c.cx_l + c.fx_l * pts[:, 0] / z
+                vl = c.cy_l + c.fy_l * pts[:, 1] / z
+                ur = c.cx_r + c.fx_r * (pts[:, 0] - c.baseline) / z
+                r = np.stack([ul, vl, ur], -1) - chk["chi_px"]
+                chi = float(np.sqrt(np.mean(r ** 2)))
+                # (c): base-frame motion of the checked far landmarks
+                # (lm_pos and lm_opt are both in each landmark's BASE frame,
+                # so honest closures — which only re-pose CAMERAS — barely
+                # move them)
+                drag = float(np.median(np.linalg.norm(
+                    lm_opt[ll] - snap_lm[ll], axis=1)))
+            if d > chk["budget"] or chi > self.p.lc_chi2_px \
+                    or drag > chk["budget"]:
+                failed.append((chk, dict(
+                    disagreement_m=d, budget_m=chk["budget"],
+                    path_len_m=chk["plen"], chi_px=chi, lm_drag_m=drag)))
+        if failed:
+            self._rollback_lc(entry, failed)
+
+    def _rollback_lc(self, entry: dict, failed: list):
+        """Undo a committed window solve whose loop-closure edge failed
+        layer-B validation: restore the pre-solve edge poses + landmark
+        positions, remove the offending edge(s), re-base the
+        mis-associated observations, blacklist the area pair, and re-solve
+        the window without the edge."""
+        root = entry["root"]
+        snap_idx, snap_pose, snap_lm = entry["lc_snap"]
+        keep = self._edge_valid[snap_idx]
+        self._edge_pose[snap_idx[keep]] = snap_pose[keep]
+        self.lm_pos[entry["lms"]] = snap_lm
+        centers = set()
+        for chk, info in failed:
+            self._remove_edge(chk["e"])
+            centers.add(self._area_of(chk["u"]))
+            self._reject_lc_edge(chk["u"], root, "solve", info)
+        if not self.adj.get(root):
+            fb = self._area_of(root - 1)
+            self._add_edge(
+                fb, root,
+                se3_np.relative(self.kf_global[root], self.kf_global[fb]),
+                kind=1)
+        moved = self._rebase_far_obs(root, centers)
+        if moved:
+            self.log(1, f"kf{root}: re-based {moved} observations after "
+                        f"post-solve loop-closure rollback")
+        # re-solve the (restored) window without the rejected edge; the
+        # result lands at the owner's next pull / flush
+        self._dispatch_window_opt(root, [])
+
     def flush(self):
-        """Force every queued window solve to land (no-op when none)."""
-        if self._pending or self._queued:
+        """Force every queued window solve to land (no-op when none). Loops
+        because a loop-closure rollback re-dispatches its window."""
+        while self._pending or self._queued:
             self.commit_pending()
 
     # -------------------------------------------------------------- exports
@@ -807,10 +1273,11 @@ class SRBAEngine:
         """kf2kf constraint list for the final pose-graph solve
         (≙ get_global_graphslam_problem, reference .cpp:946-947)."""
         self.flush()
+        m = self._edge_valid[: self.n_edges]
         return (
-            self._edge_u[: self.n_edges].copy(),
-            self._edge_v[: self.n_edges].copy(),
-            self._edge_pose[: self.n_edges].copy(),
+            self._edge_u[: self.n_edges][m].copy(),
+            self._edge_v[: self.n_edges][m].copy(),
+            self._edge_pose[: self.n_edges][m].copy(),
         )
 
     def save_graph_as_dot(self, path: str):
@@ -831,6 +1298,8 @@ class SRBAEngine:
                     f'  {k} [shape={shape} label="{k}" '
                     f'pose="{p[3]:.3f} {p[4]:.3f} {p[5]:.3f}"];\n')
             for e in range(self.n_edges):
+                if not self._edge_valid[e]:
+                    continue
                 kind = kinds.get(int(self._edge_kind[e]), "submap")
                 rel = self._edge_pose[e]
                 style = (' color=red penwidth=2' if kind == "lc" else "")
@@ -852,6 +1321,12 @@ class SRBAEngine:
     @property
     def edge_pose(self) -> np.ndarray:
         return self._edge_pose[: self.n_edges]
+
+    @property
+    def edge_valid(self) -> np.ndarray:
+        """False where a loop-closure rollback removed the edge (the raw
+        edge arrays above keep their slots; filter with this mask)."""
+        return self._edge_valid[: self.n_edges]
 
 def _obs_as_arrays(observations):
     """Normalize either obs format to (lm_ids [N], px [N,3], rel_pos [N,3])."""

@@ -56,19 +56,25 @@ def save_state(est, path: str):
         "rba_n_kfs": rba.n_kfs,
     }
     lm_id_keys = np.nonzero(rba._lm_lookup >= 0)[0]
+    # edges removed by a loop-closure rollback are compacted away (edge ids
+    # are not persisted; the adjacency is rebuilt on load)
+    ev_mask = rba.edge_valid
     np.savez_compressed(
         path,
         __scalars__=json.dumps(scalars),
         **arrays,
         kf_match_ids=store.match_ids,
         kf_poses=store.poses,
-        rba_edge_u=rba.edge_u[: rba.n_edges].astype(np.int32),
-        rba_edge_v=rba.edge_v[: rba.n_edges].astype(np.int32),
-        rba_edge_pose=rba.edge_pose[: rba.n_edges].reshape(-1, 6),
-        rba_edge_kind=rba._edge_kind[: rba.n_edges].astype(np.int8),
+        rba_edge_u=rba.edge_u[: rba.n_edges][ev_mask].astype(np.int32),
+        rba_edge_v=rba.edge_v[: rba.n_edges][ev_mask].astype(np.int32),
+        rba_edge_pose=rba.edge_pose[: rba.n_edges][ev_mask].reshape(-1, 6),
+        rba_edge_kind=rba._edge_kind[: rba.n_edges][ev_mask].astype(np.int8),
+        rba_lc_blacklist=np.asarray(sorted(rba.lc_blacklist),
+                                    np.int32).reshape(-1, 2),
         rba_kf_global=rba.kf_global,
         rba_lm_base=rba.lm_base[: rba.n_lms].astype(np.int32),
         rba_lm_pos=rba.lm_pos[: rba.n_lms].reshape(-1, 3),
+        rba_lm_match_id=rba.lm_match_id[: rba.n_lms].astype(np.int64),
         rba_lm_id_keys=lm_id_keys.astype(np.int64),
         rba_lm_id_vals=rba._lm_lookup[lm_id_keys].astype(np.int32),
         rba_localmap_center=rba.localmap_center.astype(np.int32),
@@ -112,12 +118,17 @@ def load_state(est, path: str):
     rba._edge_v = np.zeros(rba._edge_cap, np.int32)
     rba._edge_pose = np.zeros((rba._edge_cap, 6), np.float64)
     rba._edge_kind = np.zeros(rba._edge_cap, np.int8)
+    rba._edge_valid = np.ones(rba._edge_cap, bool)
     rba._edge_u[:n_edges] = data["rba_edge_u"]
     rba._edge_v[:n_edges] = data["rba_edge_v"]
     rba._edge_pose[:n_edges] = data["rba_edge_pose"]
     if "rba_edge_kind" in data:  # absent in older checkpoints
         rba._edge_kind[:n_edges] = data["rba_edge_kind"]
     rba.n_edges = n_edges
+    rba.lc_blacklist = (
+        {(int(a), int(b)) for a, b in data["rba_lc_blacklist"]}
+        if "rba_lc_blacklist" in data else set())
+    rba.lc_rejects_last_insert = []
     rba.adj = {}
     for e in range(n_edges):
         u, v = int(rba.edge_u[e]), int(rba.edge_v[e])
@@ -128,8 +139,11 @@ def load_state(est, path: str):
     rba._lm_cap = max(4096, 1 << max(n_lms - 1, 1).bit_length())
     rba.lm_base = np.zeros(rba._lm_cap, np.int32)
     rba.lm_pos = np.zeros((rba._lm_cap, 3), np.float64)
+    rba.lm_match_id = np.full(rba._lm_cap, -1, np.int64)
     rba.lm_base[:n_lms] = data["rba_lm_base"]
     rba.lm_pos[:n_lms] = data["rba_lm_pos"]
+    if "rba_lm_match_id" in data:
+        rba.lm_match_id[:n_lms] = data["rba_lm_match_id"]
     rba.n_lms = n_lms
     n_obs = len(data["rba_obs_kf"])
     rba._obs_cap = max(4096, 1 << max(n_obs - 1, 1).bit_length())
@@ -146,6 +160,9 @@ def load_state(est, path: str):
                           .bit_length())
     rba._lm_lookup = np.full(rba._lookup_cap, -1, np.int32)
     rba._lm_lookup[keys] = data["rba_lm_id_vals"]
+    if "rba_lm_match_id" not in data and len(keys):
+        # older checkpoints: reconstruct the inverse map from the lookup
+        rba.lm_match_id[data["rba_lm_id_vals"]] = keys
     rba.localmap_center = data["rba_localmap_center"].astype(np.int32)
 
     # rebuild the BoW database (the estimator may not have a vocabulary yet —

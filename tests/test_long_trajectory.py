@@ -43,15 +43,15 @@ def test_circuit_loop_closure_ate():
         updated_matches_th=35, vo_id_tracking_th=30, srba_submap_size=5,
         srba_max_tree_depth=4, srba_max_optimize_depth=4,
         da_filter_by_direction=False, residual_th=10.0, lc_distance=4,
-        # pin the 1-frame fallback vocabulary this regression was recorded
-        # with: the tiled ground plane is REPEATING texture, and a richer
-        # multi-frame vocabulary retrieves more same-texture candidates
-        # whose aliased DA consensuses seed geometrically wrong long-range
-        # edges (~1-1.8 m) — a property of the degenerate world, not of the
-        # LC machinery this test pins (the street-scene gates in
-        # tests/test_bow.py show the multi-frame vocabulary is strictly
-        # better on realistic texture; PARITY.md documents the trade-off)
-        voc_train_frames=1,
+        # DEFAULT vocabulary (voc_train_frames=8): the tiled ground plane is
+        # REPEATING texture, and the richer multi-frame vocabulary retrieves
+        # more same-texture candidates whose aliased DA consensuses would
+        # seed geometrically wrong long-range edges (~1-1.8 m). Until round
+        # 5 this test had to pin voc_train_frames=1; the loop-closure
+        # validator (SRBAParams.lc_validate: odometry-consistency gate +
+        # post-solve rollback + odometry-seeded recovery) now defends the
+        # default configuration on this degenerate world, which is exactly
+        # what this test pins.
     )
     est = SRBAStereoSLAMEstimator(
         GeneralOptions(), opts, VOOptions(fast_th=10, n_feats=192),

@@ -42,15 +42,19 @@ class World:
         return out
 
 
-def _insert(engine, obs, known_lms, noise_rng=None, px_noise=0.0):
-    """Feed observations; only first-sight landmarks carry rel positions."""
+def _insert(engine, obs, known_lms, noise_rng=None, px_noise=0.0,
+            rel_always=False):
+    """Feed observations; only first-sight landmarks carry rel positions
+    unless ``rel_always`` (the estimator triangulates EVERY observation —
+    estimator._build_obs — and loop-closure edge seeding requires the
+    re-observed landmarks' fresh geometry, so LC tests set it)."""
     prepared = []
     for (lm_id, ul, vl, ur, pc) in obs:
         if px_noise and noise_rng is not None:
             ul += noise_rng.normal(0, px_noise)
             vl += noise_rng.normal(0, px_noise)
             ur += noise_rng.normal(0, px_noise)
-        rel = None
+        rel = pc if rel_always else None
         if lm_id not in known_lms:
             rel = pc  # first sighting: triangulated position in this KF frame
             known_lms.add(lm_id)
@@ -124,7 +128,8 @@ def test_loop_closure_edge_created():
     eng.loop_closure_detected(True)
     eng.set_lc_old_id(0)
     eng.set_initial_kf_pose(np.array([0, 0, 0, 0, 0, 0.8]))
-    _insert(eng, world.observe(np.array([0, 0, 0, 0, 0, 4.8])), known)
+    _insert(eng, world.observe(np.array([0, 0, 0, 0, 0, 4.8])), known,
+            rel_always=True)
     edges = set(zip(eng.edge_u, eng.edge_v))
     assert (0, 6) in edges  # explicit LC edge to old area center
     # the LC edge is typed as such (annotated graph export input)
@@ -155,7 +160,8 @@ def test_annotated_dot_export(tmp_path):
     eng.loop_closure_detected(True)
     eng.set_lc_old_id(0)
     eng.set_initial_kf_pose(np.array([0, 0, 0, 0, 0, 0.8]))
-    _insert(eng, world.observe(np.array([0, 0, 0, 0, 0, 4.8])), known)
+    _insert(eng, world.observe(np.array([0, 0, 0, 0, 0, 4.8])), known,
+            rel_always=True)
     path = tmp_path / "g.dot"
     eng.save_graph_as_dot(str(path))
     txt = path.read_text()
