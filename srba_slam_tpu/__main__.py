@@ -73,7 +73,8 @@ def main(argv=None):
         from srba_slam_tpu.config import dump_options
 
         print(dump_options(est.general, est.opts, est.vo_opts))
-        if est.general.pause_after_show_op and sys.stdin is not None \
+        if (est.general.pause_after_show_op
+                or est.opts.pause_after_show_op) and sys.stdin is not None \
                 and sys.stdin.isatty():
             # ≙ pause_after_show_op -> system::pause() after the option
             # dumps (reference utils.h:213, :482)
@@ -179,6 +180,18 @@ def main(argv=None):
                 raise RuntimeError
         except Exception:
             source = ImageDirSource.from_options(est.general)
+
+    if est.general.save_state_to_file and est.general.save_at_iteration > 0:
+        # ≙ save_at_iteration (reference utils.h:94, .cpp:223-235: "save
+        # state and exit" at iteration N — designed-but-disabled there,
+        # working here): truncate the run at that frame; the end-of-run
+        # save below persists the state
+        import itertools
+
+        source = itertools.islice(
+            iter(source), est.general.save_at_iteration)
+        print(f"[srba_slam_tpu] will stop and save state at iteration "
+              f"{est.general.save_at_iteration}")
 
     batch = args.batch
     if batch == 0:

@@ -96,6 +96,7 @@ class GeneralOptions:
     from_step: int = 0
     to_step: int = 0                # 0 = unlimited
     save_state_to_file: bool = False
+    save_at_iteration: int = 0      # 0 = save at end of run; N = stop+save
     load_state_from_file: bool = False
     state_file: str = ""
     # IMG_SOURCE
@@ -128,7 +129,14 @@ class GeneralOptions:
             o.load_state_from_file = False
         else:
             o.load_state_from_file = cfg.read_bool(s, "load_state_from_file", o.load_state_from_file)
+        o.save_at_iteration = cfg.read_int(
+            s, "save_at_iteration", o.save_at_iteration)
         o.state_file = cfg.read_string(s, "state_file", o.state_file)
+        # capture_source (≙ utils.h:167-172: int 0=rawlog 1=image_dir) sets
+        # the default grabber; IMG_SOURCE/grabber_type overrides when present
+        aux = cfg.read_int(s, "capture_source",
+                           0 if o.cap_src == "rawlog" else 1)
+        o.cap_src = "rawlog" if aux == 0 else "image_dir"
         s = "IMG_SOURCE"
         o.cap_src = cfg.read_string(s, "grabber_type", o.cap_src)
         o.image_dir_url = cfg.read_string(s, "image_dir_url", o.image_dir_url)
@@ -157,6 +165,9 @@ class SRBAStereoSLAMOptions:
     srba_use_robust_kernel: bool = True
     srba_use_robust_kernel_stage1: bool = True
     srba_kernel_param: float = 3.0
+    # SRBA_GENERAL also carries its own pause_after_show_op (the reference
+    # pauses after dumping the SRBA options, utils.h:369/:482)
+    pause_after_show_op: bool = False
     # SRBA_DETECT
     n_feats: int = 500
     n_levels: int = 1
@@ -235,6 +246,8 @@ class SRBAStereoSLAMOptions:
         o.srba_use_robust_kernel = cfg.read_bool(s, "srba_use_robust_kernel", o.srba_use_robust_kernel)
         o.srba_use_robust_kernel_stage1 = cfg.read_bool(s, "srba_use_robust_kernel_stage1", o.srba_use_robust_kernel_stage1)
         o.srba_kernel_param = cfg.read_float(s, "srba_kernel_param", o.srba_kernel_param)
+        o.pause_after_show_op = cfg.read_bool(
+            s, "pause_after_show_op", o.pause_after_show_op)
         o.anchor_prior_w_rot = cfg.read_float(s, "anchor_prior_w_rot", o.anchor_prior_w_rot)
         o.anchor_prior_w_trans = cfg.read_float(s, "anchor_prior_w_trans", o.anchor_prior_w_trans)
         o.lc_validate = cfg.read_bool(s, "lc_validate", o.lc_validate)
