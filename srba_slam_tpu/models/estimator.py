@@ -20,6 +20,7 @@ queue until the next bulk pull.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -288,6 +289,19 @@ class SRBAStereoSLAMEstimator:
         # IDENTICAL points, so poses — not just decisions — match to ~1e-5;
         # the default pipelined scheduling trades that for throughput)
         self.solve_sync = False
+        # intermediate scheduling (the measured middle of the Pareto —
+        # tools/solve_sync_probe.py, BASELINE.md): flush QUEUED window
+        # solves right before the NEXT insertion, so every insertion seeds
+        # from the previous insertion's OPTIMIZED state while the solve
+        # itself still overlaps the frames in between. Ignored when
+        # solve_sync is set (strict wins).
+        self.solve_flush_before_insert = False
+        # latency log (always on; appends only): per-batch VO timing
+        # ("batches": j0, b, t_dispatch, t_pull) and keyframe-decision
+        # resolution lag ("checks": checked frame_idx, frame_idx at
+        # resolution, wall time) — the raw material for bench.py's
+        # frame->pose latency and KF-decision-lag percentiles
+        self.lat: dict[str, list] = {"batches": [], "checks": []}
         self._initialized = False
 
     # ------------------------------------------------------------------ init
@@ -618,7 +632,7 @@ class SRBAStereoSLAMEstimator:
         disp = dict(outs=outs, last_feat=last_feat, last_inc=last_inc,
                     b=lefts.shape[0], lefts=h_l, rights=h_r,
                     prev_feat=prev_feat, prev_inc=prev_inc, j0=j0,
-                    chain_from=chain)
+                    chain_from=chain, t_dispatch=time.perf_counter())
         if chain is None:
             # synchronous entry (batch start / step_batch): the host chain
             # state is current, so the summary can attach immediately; a
@@ -724,13 +738,23 @@ class SRBAStereoSLAMEstimator:
         spec = self._spec
         spec_handles = tuple(h for c in spec for h in c["handles"])
         pulled = bulk_pull(disp["pk"] + pend + spec_handles)
+        # latency log: the batch's frame poses are ON HOST now — frame f in
+        # [j0, j0+b) has frame->pose latency t_pull - max(t_arrival(f),
+        # t_dispatch) for whatever arrival model the consumer applies
+        self.lat["batches"].append(dict(
+            j0=disp["j0"], b=b, t_dispatch=disp.get("t_dispatch", 0.0),
+            t_pull=time.perf_counter()))
         (nm, pose_valid, cnt0, cnt_loc, poses, mean_res,
          last_inc_h) = _unpack_scan_summary(pulled[0], pulled[1], b)
         if pend:
             self.rba.commit_pending(pulled[2:2 + len(pend)])
         self._replay_flag = False
         if spec:
+            # decision-lag accounting: frames of THIS batch are already in
+            # the system when the previous batch's checks resolve here
+            self._lat_resolved_at = disp["j0"] + b - 1
             self._resolve_spec(pulled[2 + len(pend):])
+            self._lat_resolved_at = None
         self._reanchor_if_dirty()
 
         batch_rec = dict(feats=feats, outs=disp["outs"], nm=nm,
@@ -1142,6 +1166,15 @@ class SRBAStereoSLAMEstimator:
         checks, self._spec = self._spec, []
         n = self._N_CHECK_HANDLES
         last_ins_ids = None
+        t_res = time.perf_counter()
+        newest = getattr(self, "_lat_resolved_at", None)
+        if newest is None:
+            newest = self.frame_idx
+        for c in checks:
+            # latency log: the keyframe DECISION for this frame commits now;
+            # the lag in frames is vs the newest frame already dispatched
+            self.lat["checks"].append(dict(
+                frame=c["res"].frame_idx, resolved_at=newest, t=t_res))
         for idx, c in enumerate(checks):
             pulled = tuple(vals[idx * n:(idx + 1) * n])
             d = self._kf_decide(pulled, c["res"], c["force"])
@@ -1731,6 +1764,14 @@ class SRBAStereoSLAMEstimator:
                                          int(d["tracked"][d["order"][0]]))
         if self.opts.use_initial_pose:
             self.rba.set_initial_kf_pose(initial_rel)
+        if self.solve_flush_before_insert and not self.solve_sync:
+            # intermediate scheduling: land every QUEUED window solve before
+            # this insertion dispatches its own — the new KF seeds from the
+            # previous insertion's optimized state while the solves still
+            # overlapped all frames since then (tools/solve_sync_probe.py
+            # measures the fps/disagreement point; BASELINE.md)
+            with self.profiler.section("solve_flush"):
+                self.rba.flush()
         with self.profiler.section("define_kf"):
             try:
                 info = self.rba.define_new_keyframe(obs, run_opt=True)

@@ -161,6 +161,45 @@ def test_solve_sync_strict_pose_equivalence():
         est_a.rba.kf_global[:n], est_b.rba.kf_global[:n], atol=1e-3)
 
 
+def test_flush_before_insert_between_pipelined_and_strict():
+    """The intermediate solve scheduling (solve_flush_before_insert: queued
+    window solves land right before the NEXT insertion) must keep decisions
+    identical to per-frame stepping and land poses CLOSER to the strict
+    schedule than the pipelined default does — each insertion seeds from
+    its predecessor's optimized state (VERDICT r4 #4; the measured fps
+    points live in tools/solve_sync_probe.py / BASELINE.md)."""
+    cam = small_cam()
+    frames = list(SyntheticSource(cam, n_frames=25, seed=11, step=0.12))
+
+    est_ref = make_estimator()          # strict = per-frame-equivalent gold
+    est_ref.solve_sync = True
+    est_ref.perform_stereo_slam_batched(frames, batch=6)
+
+    est_mid = make_estimator()
+    est_mid.solve_flush_before_insert = True
+    est_mid.perform_stereo_slam_batched(frames, batch=6)
+
+    est_pipe = make_estimator()
+    est_pipe.perform_stereo_slam_batched(frames, batch=6)
+
+    for e in (est_ref, est_mid, est_pipe):
+        e.rba.flush()
+    assert [r.inserted_kf for r in est_mid.step_log] == \
+        [r.inserted_kf for r in est_ref.step_log]
+    n = est_ref.store.n_kfs
+    assert est_mid.store.n_kfs == n
+
+    def dmax(e):
+        return float(np.max(np.linalg.norm(
+            e.rba.kf_global[:n, 3:] - est_ref.rba.kf_global[:n, 3:],
+            axis=1)))
+    d_mid, d_pipe = dmax(est_mid), dmax(est_pipe)
+    # the intermediate mode must not be WORSE than pipelined, and must hold
+    # a tighter absolute gate than pipelined's 0.15 m scheduling tolerance
+    assert d_mid <= max(d_pipe, 1e-6) + 1e-9, (d_mid, d_pipe)
+    assert d_mid < 0.05, d_mid
+
+
 def test_batched_single_transfer_per_batch(monkeypatch):
     """The batched loop's latency contract on tunneled runtimes: ONE
     blocking device->host transfer per processed batch (scan outputs +

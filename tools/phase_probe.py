@@ -47,6 +47,11 @@ def _wrap(obj, name, phase, count=False):
 
 
 def main():
+    # PROBE_BATCH overrides the tunnel batch size (pull-cadence experiments
+    # — VERDICT r4 #3); WARMUP stays one full batch + bootstrap
+    if os.environ.get("PROBE_BATCH"):
+        bench.BATCH = int(os.environ["PROBE_BATCH"])
+        bench.WARMUP_FRAMES = 1 + bench.BATCH
     bench._enable_persistent_compile_cache()
     cam, frames = bench._build_workload()
     frames = frames[: bench.WARMUP_FRAMES + bench.TIMED_FRAMES]

@@ -1,15 +1,24 @@
-"""Measure strict solve scheduling (solve_sync) cost post-bulk-pull
-(VERDICT r3 #5).
+"""Measure the solve-scheduling Pareto: pipelined vs flush-before-insert
+vs strict (VERDICT r3 #5, r4 #4).
 
-``solve_sync=True`` flushes the SRBA window solve immediately after every
-keyframe insertion (one blocking pull per insert) instead of queueing
-solves into the next batch boundary's single bulk pull. Strict mode gives
-1e-5-level pose agreement with per-frame stepping; pipelined mode can
-differ at the decimeter level through the window-BA init-anchor prior
-(tests/test_batch_mode.py gates it at 0.15 m). This probe runs the
-device-resident loop both ways and reports fps + the keyframe-pose
-disagreement, so the batched-mode default can be chosen on a measured
-number (BASELINE.md records it).
+Three schedulings of the SRBA window solves in the batched/device-resident
+loop:
+
+* ``pipelined`` (default): solves queue and land at the next batch
+  boundary's single bulk pull — maximum overlap, but a later insertion can
+  seed from a not-yet-optimized predecessor (decimeter-level pose drift vs
+  per-frame stepping; tests/test_batch_mode.py gates 0.15 m at test scale).
+* ``flush_before_insert``: queued solves land right before the NEXT
+  insertion dispatches its own — every insertion seeds from optimized
+  state, while solves still overlap all frames in between (one blocking
+  pull per insertion, only when solves are pending).
+* ``strict`` (solve_sync): flush immediately after every insertion —
+  1e-5-level pose agreement with per-frame stepping, maximum sync cost.
+
+The probe runs the device-resident loop in all three modes and reports fps
++ keyframe-pose disagreement vs STRICT (which stands in for per-frame
+stepping at 1e-5), so the batched-mode default is chosen on measured
+numbers (BASELINE.md records the curve).
 
 Run standalone: `python tools/solve_sync_probe.py`.
 """
@@ -26,6 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 import bench  # noqa: E402
+
+MODES = ("pipelined", "flush_before_insert", "strict")
 
 
 def run_devres(est, chunks):
@@ -45,11 +56,12 @@ def run_devres(est, chunks):
     jax.device_get(np.asarray(est.vo._last_pose_inc))
 
 
-def one_pass(cam, frames, chunks_of, solve_sync, timed=True):
+def one_pass(cam, frames, chunks_of, mode):
     import jax
 
     est = bench._build_estimator(cam)
-    est.solve_sync = solve_sync
+    est.solve_sync = mode == "strict"
+    est.solve_flush_before_insert = mode == "flush_before_insert"
     est.perform_stereo_slam_batched(frames[: bench.WARMUP_FRAMES],
                                     batch=bench.BATCH)
     est.rba.flush()
@@ -78,35 +90,39 @@ def main():
         jax.block_until_ready(chunks)
         return chunks
 
-    # warm both variants' programs, then time (best of 2 each, interleaved
-    # to decorrelate pool contention)
-    one_pass(cam, frames, chunks_of, False, timed=False)
-    one_pass(cam, frames, chunks_of, True, timed=False)
-    fps_pipe, fps_sync = 0.0, 0.0
-    est_pipe = est_sync = None
+    # warm every mode's programs, then time (best of 2 each, interleaved to
+    # decorrelate pool contention)
+    for m in MODES:
+        one_pass(cam, frames, chunks_of, m)
+    best = {m: (None, 0.0) for m in MODES}
     for _ in range(2):
-        e, f = one_pass(cam, frames, chunks_of, False)
-        if f > fps_pipe:
-            fps_pipe, est_pipe = f, e
-        e, f = one_pass(cam, frames, chunks_of, True)
-        if f > fps_sync:
-            fps_sync, est_sync = f, e
+        for m in MODES:
+            e, f = one_pass(cam, frames, chunks_of, m)
+            if f > best[m][1]:
+                best[m] = (e, f)
 
-    ka = [r.inserted_kf for r in est_pipe.step_log]
-    kb = [r.inserted_kf for r in est_sync.step_log]
-    n = min(est_pipe.store.n_kfs, est_sync.store.n_kfs)
-    dpose = float(np.max(np.linalg.norm(
-        est_pipe.rba.kf_global[:n, 3:] - est_sync.rba.kf_global[:n, 3:],
-        axis=1))) if n else 0.0
-    print(json.dumps({
-        "device_resident_fps_pipelined": round(fps_pipe, 2),
-        "device_resident_fps_solve_sync": round(fps_sync, 2),
-        "sync_cost_pct": round(100.0 * (1.0 - fps_sync / fps_pipe), 1),
-        "decisions_identical": ka == kb,
-        "n_kfs": [est_pipe.store.n_kfs, est_sync.store.n_kfs],
-        "max_kf_pos_disagreement_m": round(dpose, 4),
-        "backend": jax.devices()[0].platform,
-    }))
+    est_ref = best["strict"][0]
+    ka = [r.inserted_kf for r in est_ref.step_log]
+    out = {"backend": jax.devices()[0].platform,
+           "n_kfs": {m: best[m][0].store.n_kfs for m in MODES}}
+    for m in MODES:
+        e, f = best[m]
+        n = min(e.store.n_kfs, est_ref.store.n_kfs)
+        dpose = float(np.max(np.linalg.norm(
+            e.rba.kf_global[:n, 3:] - est_ref.rba.kf_global[:n, 3:],
+            axis=1))) if n else 0.0
+        out[m] = {
+            "fps": round(f, 2),
+            "max_kf_pos_disagreement_vs_strict_m": round(dpose, 4),
+            "decisions_identical_to_strict":
+                [r.inserted_kf for r in e.step_log] == ka,
+        }
+    fp = out["pipelined"]["fps"]
+    out["flush_cost_pct"] = round(
+        100.0 * (1.0 - out["flush_before_insert"]["fps"] / fp), 1)
+    out["strict_cost_pct"] = round(
+        100.0 * (1.0 - out["strict"]["fps"] / fp), 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
