@@ -199,7 +199,14 @@ def main():
     # host's single core
     dev_fleet = fleet_ph["vo_dev"] + fleet_ph["qa_dev"]
     projected_total = fleet_total - dev_fleet + dev_fleet / n_dev
-    projected = (n_dev * n_frames / projected_total) / solo_fps
+    raw = (n_dev * n_frames / projected_total) / solo_fps
+    # the fleet amortizes HOST fixed costs (one python step-loop, one fused
+    # dispatch) across sequences, so the raw aggregate-vs-solo ratio can
+    # exceed n_dev — that excess is host batching efficiency, NOT device
+    # scaling. The embarrassingly parallel one-sequence-per-chip axis is
+    # physically bounded by n_dev: report the projection CAPPED there and
+    # the amortization residue separately.
+    projected = min(raw, float(n_dev))
     print(json.dumps({
         "n_devices": n_dev,
         "host_cores": len(os.sched_getaffinity(0)),
@@ -210,8 +217,14 @@ def main():
         "solo_phases_s": {k: round(v, 3) for k, v in solo_ph.items()},
         "observed_scaling": round(observed, 2),
         "ici_projected_scaling": round(projected, 2),
-        "note": "device phases serialize on this 1-core host; projection "
-                "divides them by n_devices (embarrassingly parallel axis)",
+        "host_amortization_x": round(max(raw / n_dev, 1.0), 2),
+        "projection_method":
+            "fleet device phases (vo_dev+qa_dev) divided by n_devices "
+            "(one sequence per chip, zero cross-talk), host phases "
+            "unscaled, aggregate fps vs the measured solo run; capped at "
+            "n_devices — the per-sequence axis cannot beat "
+            "one-chip-per-sequence, and any excess over the cap is "
+            "host-side batching amortization (host_amortization_x)",
     }))
 
 
