@@ -183,7 +183,8 @@ class _FrameUploader:
     (max_num_kfs / to_step) never loses prefetched frames.
     """
 
-    def __init__(self, frame_iter, batch: int, depth: int = 2):
+    def __init__(self, frame_iter, batch: int, depth: int = 2,
+                 stats: list | None = None):
         import queue
         import threading
 
@@ -191,14 +192,22 @@ class _FrameUploader:
         self._batch = batch
         self._q = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        # telemetry sink (estimator's lat["uploads"]): per-batch enqueue
+        # wall time + bytes, measured ON the worker thread — the in-run
+        # effective link speed, so a phase breakdown can attribute upload
+        # waits to bandwidth vs overlap without a separate (time-shifted,
+        # contention-confounded) link measurement
+        self._stats = stats
         self._t = threading.Thread(target=self._run, daemon=True,
                                    name="srba-frame-uploader")
         self._t.start()
 
     def _run(self):
+        import time as _time
         try:
             while not self._stop.is_set():
                 lefts, rights, dev_l, dev_r = [], [], [], []
+                t0 = _time.perf_counter()
                 for _ in range(self._batch):
                     try:
                         l, r = next(self._it)
@@ -212,6 +221,11 @@ class _FrameUploader:
                 if not lefts:
                     self._q.put(None)
                     return
+                if self._stats is not None:
+                    self._stats.append(dict(
+                        n=len(lefts),
+                        bytes=sum(a.nbytes for a in lefts) * 2,
+                        t0=t0, t1=_time.perf_counter()))
                 self._q.put(((dev_l, dev_r),
                              (np.stack(lefts), np.stack(rights))))
             self._q.put(None)
@@ -524,7 +538,8 @@ class SRBAStereoSLAMEstimator:
         # batch n's keyframe logic and batch n+1's pull wait.  Frame uploads
         # run continuously on the _FrameUploader worker thread (per-frame
         # chunks; see its docstring for the link-utilization model).
-        up = _FrameUploader(it, batch)
+        up = _FrameUploader(it, batch,
+                            stats=self.lat.setdefault("uploads", []))
         try:
             cur = up.next()
             disp = (

@@ -90,12 +90,25 @@ def main():
     est_mod.SRBAStereoSLAMEstimator._process_frames = orig_pf
 
     other = total - sum(PHASES.values())
+    # in-run uploader telemetry (measured on the worker thread, same
+    # seconds as the phases): effective link speed DURING this run, the
+    # uploader's busy seconds, and how much of that busy time the main
+    # thread actually waited for (upnext) vs hid behind pulls/compute —
+    # distinguishes "link was slow" from "pipeline failed to overlap"
+    ups = [u for u in est.lat.get("uploads", []) if u["t1"] >= t0]
+    up_busy = sum(u["t1"] - u["t0"] for u in ups)
+    up_bytes = sum(u["bytes"] for u in ups)
     print(json.dumps({
         "fps": round(bench.TIMED_FRAMES / total, 2),
         "total_s": round(total, 3),
         **{k: round(v, 3) for k, v in PHASES.items()},
         "counts": COUNTS,
         "other_s": round(other, 3),
+        "upload_busy_s": round(up_busy, 3),
+        "upload_MB": round(up_bytes / 1e6, 1),
+        "upload_MBps_in_run": round(up_bytes / 1e6 / up_busy, 1)
+        if up_busy else None,
+        "upload_hidden_s": round(up_busy - PHASES["upnext"], 3),
         "backend": jax.devices()[0].platform,
     }))
 
