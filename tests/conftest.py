@@ -23,6 +23,22 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Bound in-process XLA/jit state growth across the full suite.
+
+    A single `pytest tests/ -x -q` process accumulates every module's
+    compiled programs; after ~180 tests the backend segfaults inside a
+    fresh compile (reproduced twice at the same test, 2026-08-20; passes
+    in isolation and at file scope). Dropping the jit caches at module
+    boundaries keeps the in-process footprint at single-module scale.
+    Cross-module recompiles are cheap relative to the suite's own
+    compile-dominated runtime.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
