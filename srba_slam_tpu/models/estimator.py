@@ -426,6 +426,14 @@ class SRBAStereoSLAMEstimator:
         # deferred checks planned during the current batch walk but not yet
         # dispatched — fused_checks_batch runs them all in ONE jitted call
         self._check_plan: list[dict] = []
+        # walk-time (frame, t_chk, r_chk, was_check) trigger norms since the
+        # oldest unresolved check — lets _demote_shrink_miss prove a
+        # deferred threshold shrink immaterial instead of replaying
+        self._walk_log: list[tuple] = []
+        # inside a _process_frames walk (mid-walk guard resolutions must use
+        # the classic replay: the fast path re-walks the full tail, which
+        # would double-walk the caller's remaining frames)
+        self._in_walk = False
         self._bp: np.ndarray | None = None
         self._ref_ids: np.ndarray | None = None
         self._last_m_valid = None
@@ -903,6 +911,15 @@ class SRBAStereoSLAMEstimator:
         pose_valid = batch_rec["pose_valid"]
         feats = batch_rec["feats"]
         k = self.capacity
+        prev_in_walk, self._in_walk = self._in_walk, True
+        try:
+            self._walk_frames(batch_rec, j0, j1, defer, lanes, nm, poses,
+                              pose_valid, feats, k)
+        finally:
+            self._in_walk = prev_in_walk
+
+    def _walk_frames(self, batch_rec, j0, j1, defer, lanes, nm, poses,
+                     pose_valid, feats, k):
         for j in range(j0, j1):
             self.frame_idx += 1
             res = StepResult(self.frame_idx)
@@ -948,7 +965,13 @@ class SRBAStereoSLAMEstimator:
             self.incr_from_last_check = se3_np.compose(
                 self.incr_from_last_check, motion)
 
-            force_new_kf, check = self._kf_triggers(tracked_kf)
+            force_new_kf, check, t_chk, r_chk = self._kf_triggers(tracked_kf)
+            # walk-time trigger norms, consumed by _demote_shrink_miss: a
+            # deferred no-insert check that shrinks the dynamic thresholds
+            # is only a REAL miss if some frame walked after it would have
+            # triggered under the shrunk values (global log: retry tails
+            # and multi-record batches stay covered)
+            self._walk_log.append((self.frame_idx, t_chk, r_chk, check))
             if not check:
                 continue
             res.kf_check = True
@@ -1179,20 +1202,23 @@ class SRBAStereoSLAMEstimator:
         path would have produced — only the device inputs were speculative,
         and those are exact unless a prediction missed."""
         checks, self._spec = self._spec, []
+        if not checks:
+            self._walk_log = []
         n = self._N_CHECK_HANDLES
         last_ins_ids = None
         t_res = time.perf_counter()
         newest = getattr(self, "_lat_resolved_at", None)
         if newest is None:
             newest = self.frame_idx
-        for c in checks:
-            # latency log: the keyframe DECISION for this frame commits now;
-            # the lag in frames is vs the newest frame already dispatched
-            self.lat["checks"].append(dict(
-                frame=c["res"].frame_idx, resolved_at=newest, t=t_res))
         for idx, c in enumerate(checks):
             pulled = tuple(vals[idx * n:(idx + 1) * n])
             d = self._kf_decide(pulled, c["res"], c["force"])
+            # latency log: the keyframe DECISION for this frame commits now
+            # (per check as it actually resolves — checks dropped by a miss
+            # replay log at their re-resolution instead); the lag in frames
+            # is vs the newest frame already dispatched
+            self.lat["checks"].append(dict(
+                frame=c["res"].frame_idx, resolved_at=newest, t=t_res))
             if not c["force"]:
                 # non-forced checks run at short range: if DA fails there,
                 # the appearance regime is bad and every check will insert
@@ -1201,6 +1227,13 @@ class SRBAStereoSLAMEstimator:
             hit = (d["insert"] == c["ins"]) and (
                 d["insert"] or d["new_tr_th"] is None)
             if not hit:
+                if self._demote_shrink_miss(c, d):
+                    # immaterial shrink: the tail walk is provably identical
+                    # under the shrunk thresholds — apply them and continue
+                    # resolving instead of replaying (the dominant devres
+                    # miss class; tools/devres_pull_sites.py)
+                    self._apply_no_insert(d)
+                    continue
                 self._miss_recover(c, d)
                 return
             if d["insert"]:
@@ -1209,6 +1242,9 @@ class SRBAStereoSLAMEstimator:
                     c["res"],
                     initial_rel=c["incr_at_check"], pre_written=True)
             # no-insert hit: nothing to do (decide set the log fields)
+        # every deferred check resolved without replay: entries are dead
+        # (future checks have strictly larger frame indices)
+        self._walk_log = []
         if checks:
             if self._ref_ids is None and last_ins_ids is not None:
                 # the last insert-speculated check's frame is the current
@@ -1221,13 +1257,145 @@ class SRBAStereoSLAMEstimator:
                                                    self.incr_from_last_kf)
                 self._pose_dirty = False
 
+    def _demote_shrink_miss(self, c: dict, d: dict) -> bool:
+        """Is this miss a PURE threshold shrink whose tail is unaffected?
+
+        A deferred check predicted no-insert, decided no-insert, but set
+        ``new_tr_th``/``new_rot_th`` (≙ reference .cpp:525-541). The shrink
+        only changes the walk through the frames between this check and the
+        NEXT check of its batch: trigger = force | low-tracking |
+        t_chk > tr_th | r_chk > rot_th, and shrinking thresholds can only
+        ADD triggers. If no such tail frame's walk-time accumulated norms
+        exceed the shrunk values, the triggered-frame set — and therefore
+        every accumulator reset and later decision — is identical, so the
+        true outcome can be applied without the snapshot replay. Frames
+        after the NEXT check are governed by that check's own outcome
+        (resolved next, with this shrink already applied — induction), and
+        frames of LATER batches are walked after this resolution with the
+        corrected thresholds. Exactness vs per-frame stepping is preserved;
+        only the ~2 extra blocking pulls and the host re-walk of the replay
+        path are saved."""
+        if d["insert"] or c["ins"] or d["new_tr_th"] is None:
+            return False  # a mispredicted outcome: the tail really diverges
+        f_c = c["res"].frame_idx
+        for (f, t_chk, r_chk, was_check) in self._walk_log:
+            if f <= f_c:
+                continue
+            if was_check:
+                # the next check triggers under both walks (shrinking only
+                # adds triggers) and resets the accumulators identically;
+                # its own resolution covers the frames beyond it
+                break
+            if t_chk > d["new_tr_th"] or r_chk > d["new_rot_th"]:
+                return False  # material: this frame would now trigger
+        return True
+
+    def _shrink_tail_ok(self, c: dict, d: dict) -> bool:
+        """Can the virtual fast-path replay handle this shrink miss?
+
+        Dry-runs the tail trigger walk under the shrunk thresholds on the
+        batch's host summary arrays (same data the real re-walk uses). The
+        fast path requires every newly-triggered check to PREDICT no-insert
+        (force off, tracking comfortably above threshold, DA alive): a
+        predicted no-insert check touches no reference state, so the device
+        chain maps, the next batch's already-attached scan summary, and the
+        speculative row indices all stay exactly valid. Any insert
+        prediction moves the track reference — the classic host replay
+        handles those."""
+        snap = c["snap"]
+        b_rec = snap["batch"]
+        nm, poses = b_rec["nm"], b_rec["poses"]
+        pose_valid = b_rec["pose_valid"]
+        rl = snap["ref_local"]
+        incr_kf = snap["incr_kf"].copy()
+        incr_chk = np.zeros(6)
+        o = self.opts
+        for j in range(snap["j"] + 1, b_rec["b"]):
+            if not bool(pose_valid[j]) or int(nm[j]) < 8:
+                continue  # skip frame: no motion integrated (≙ .cpp:318-323)
+            tracked = (int(b_rec["cnt"][j, rl]) if rl is not None
+                       else int(b_rec["cnt0"][j]))
+            motion = se3_np.inverse(poses[j].astype(np.float64))
+            incr_kf = se3_np.compose(incr_kf, motion)
+            incr_chk = se3_np.compose(incr_chk, motion)
+            force = (
+                np.linalg.norm(incr_kf[3:]) > 2.0 * o.max_translation
+                or np.rad2deg(np.linalg.norm(incr_kf[:3]))
+                > 2.0 * o.max_rotation
+            )
+            check = (
+                force
+                or tracked < o.vo_id_tracking_th
+                or np.linalg.norm(incr_chk[3:]) > d["new_tr_th"]
+                or np.rad2deg(np.linalg.norm(incr_chk[:3])) > d["new_rot_th"]
+            )
+            if not check:
+                continue
+            if (force or tracked < 1.2 * o.updated_matches_th
+                    or self._da_dead):
+                return False  # would predict INSERT: reference moves
+            incr_chk = np.zeros(6)
+            # predicted no-insert: the deferred walk keeps the thresholds
+            # (a further shrink is only known at ITS resolution)
+        return True
+
+    def _shrink_replay(self, c: dict, d: dict):
+        """Fast-path replay for a pure threshold-shrink miss in virtual-
+        chain mode (gated by :meth:`_shrink_tail_ok`): no insertion happened
+        at the check and none will be predicted in the tail, so the device
+        chain state, references, and any already-attached next-batch summary
+        stay valid. Restore only the HOST walk counters, apply the shrink,
+        and re-walk the tail with deferred checks — zero blocking transfers
+        here; the re-deferred checks ride the next resolution round's bulk
+        pull (mid-run) or the finish loop (at the batch end). Replaces the
+        classic replay's chain/lane pulls + per-check synchronous pulls
+        (~140 ms/miss on the tunneled v5e — tools/devres_pull_sites.py)."""
+        snap = c["snap"]
+        self.frame_idx = snap["frame_idx"]
+        del self.step_log[snap["log_len"]:]
+        self.incr_from_last_kf = snap["incr_kf"].copy()
+        self.incr_from_last_check = np.zeros(6)
+        self._apply_no_insert(d)  # the TRUE outcome: shrunk thresholds
+        b_rec = snap["batch"]
+        b_rec["resets"] = list(snap["resets"])
+        b_rec["ref_local"] = snap["ref_local"]
+        self._ref_frame = snap["ref_frame"]
+        self._ref_ids = snap["ref_ids"]
+        self._da_seed = snap["da_seed"]
+        self._walk_log = []  # re-walk reuses the rewound frame indices
+        if self.store.n_kfs:
+            self.last_kf_pose = \
+                self.rba.kf_global[self.store.n_kfs - 1].copy()
+        self.current_pose = se3_np.compose(self.last_kf_pose,
+                                           self.incr_from_last_kf)
+        self._pose_dirty = False
+        self._process_frames(b_rec, snap["j"] + 1, b_rec["b"], defer=True)
+        # the tail's checks are no-insert-predicted (gate above), so the
+        # reset list is unchanged — still re-derive the chain entry in case
+        # a nested guard path inserted synchronously (cheap async dispatch)
+        self._finish_batch_chain(b_rec, b_rec["b"])
+        self._dispatch_planned_checks()  # overlap the fused check program
+
     def _miss_recover(self, c: dict, d: dict):
         """Prediction miss at check ``c``: restore the snapshot taken at its
         dispatch, apply the TRUE outcome, and replay the rest of its batch
         with synchronous checks (later deferred checks were dropped by the
         caller; insert-speculated device rows are inert and will be
         overwritten by the next real insertions)."""
+        if (not self._in_walk and self._virtual_bp
+                and c["snap"].get("bp") is None
+                and not d["insert"] and not c["ins"]
+                and d["new_tr_th"] is not None
+                and self._shrink_tail_ok(c, d)):
+            # pure shrink, virtual mode, outside any walk, insert-free tail:
+            # the pull-free fast path (leaves _replay_flag unset — the
+            # device chain and any attached next-batch summary stay valid)
+            self._shrink_replay(c, d)
+            return
         self._replay_flag = True
+        # the replay rewinds frame_idx and re-walks synchronously: walk-log
+        # entries would otherwise collide with the re-walked frame indices
+        self._walk_log = []
         snap = c["snap"]
         self.frame_idx = snap["frame_idx"]
         del self.step_log[snap["log_len"]:]
@@ -1295,31 +1463,51 @@ class SRBAStereoSLAMEstimator:
         slot map and last-frame validity mask along the same transfer so
         the id materialization that follows costs no extra round trip."""
         self._dispatch_planned_checks()
-        chain_h = ()
-        if with_chain and self._virtual_bp \
-                and self._chain_entry_dev is not None \
-                and self._last_mv_dev is not None:
-            chain_h = (self._chain_entry_dev, self._last_mv_dev)
         self._chain_pulled = None
-        if not self._spec:
-            self.rba.flush()
+        first_round = True
+        while True:
+            chain_h = ()
+            if with_chain and self._virtual_bp \
+                    and self._chain_entry_dev is not None \
+                    and self._last_mv_dev is not None:
+                chain_h = (self._chain_entry_dev, self._last_mv_dev)
+            if not self._spec:
+                if first_round:
+                    self.rba.flush()
+                self._reanchor_if_dirty()
+                if chain_h and self._chain_pulled is None:
+                    self._chain_pulled = bulk_pull(chain_h)
+                return
+            pend = self.rba.pending_device_arrays()
+            spec_handles = tuple(h for c in self._spec for h in c["handles"])
+            pulled = bulk_pull(pend + spec_handles + chain_h)
+            if pend:
+                self.rba.commit_pending(pulled[:len(pend)])
+            self._chain_pulled = pulled[-2:] if chain_h else None
+            self._replay_flag = False
+            self._resolve_spec(
+                pulled[len(pend):len(pend) + len(spec_handles)]
+                if chain_h else pulled[len(pend):])
             self._reanchor_if_dirty()
-            if chain_h:
-                self._chain_pulled = bulk_pull(chain_h)
-            return
-        pend = self.rba.pending_device_arrays()
-        spec_handles = tuple(h for c in self._spec for h in c["handles"])
-        pulled = bulk_pull(pend + spec_handles + chain_h)
-        if pend:
-            self.rba.commit_pending(pulled[:len(pend)])
-        if chain_h:
-            self._chain_pulled = pulled[-2:]
-        self._replay_flag = False
-        self._resolve_spec(pulled[len(pend):len(pend) + len(spec_handles)]
-                           if chain_h else pulled[len(pend):])
-        if self._replay_flag:
-            self._chain_pulled = None  # replay switched to host mode
-        self._reanchor_if_dirty()
+            if self._replay_flag:
+                self._chain_pulled = None  # replay switched to host mode
+                return
+            if chain_h and chain_h[0] is not self._chain_entry_dev:
+                # a fast-path shrink replay re-derived the chain entry:
+                # the value pulled this round is stale
+                self._chain_pulled = None
+            if not self._spec:
+                if with_chain and self._chain_pulled is None \
+                        and self._virtual_bp \
+                        and self._chain_entry_dev is not None \
+                        and self._last_mv_dev is not None:
+                    self._chain_pulled = bulk_pull(
+                        (self._chain_entry_dev, self._last_mv_dev))
+                return
+            # a fast-path shrink replay re-deferred tail checks: dispatch
+            # and resolve them in another round
+            self._dispatch_planned_checks()
+            first_round = False
 
     def _materialize_engine_ids(self):
         """Translate the backpointer chains into the VO engine's global-id
@@ -1371,6 +1559,7 @@ class SRBAStereoSLAMEstimator:
         self._last_mv_dev = None
         self._last_skip = False
         self._chain_pulled = None
+        self._walk_log = []
         if self.store.n_kfs == 0:
             self._bp = np.full(self.capacity, -1, np.int64)
             self._ref_ids = None
@@ -1416,7 +1605,8 @@ class SRBAStereoSLAMEstimator:
         self.incr_from_last_kf = se3_np.compose(self.incr_from_last_kf, motion)
         self.incr_from_last_check = se3_np.compose(self.incr_from_last_check, motion)
 
-        force_new_kf, check = self._kf_triggers(vo.tracked_from_last_kf)
+        force_new_kf, check, _t, _r = self._kf_triggers(
+            vo.tracked_from_last_kf)
         if not check:
             return res
         res.kf_check = True
@@ -1426,15 +1616,18 @@ class SRBAStereoSLAMEstimator:
             self.vo.set_frame_ids(ids, set(int(i) for i in ids if i >= 0))
         return res
 
-    def _kf_triggers(self, tracked_from_last_kf: int) -> tuple[bool, bool]:
+    def _kf_triggers(
+            self, tracked_from_last_kf: int) -> tuple[bool, bool, float, float]:
         """KF-check triggers (≙ reference .cpp:366-394): hard force limit at
         2x the configured translation/rotation, tracking-count trigger, and
         the dynamic since-last-check distance trigger. Returns
-        (force_new_kf, check)."""
+        (force_new_kf, check, t_chk, r_chk) — the accumulated-since-last-
+        check norms are logged by the batched walk so a deferred shrink can
+        be verified immaterial (see :meth:`_demote_shrink_miss`)."""
         t_kf = np.linalg.norm(self.incr_from_last_kf[3:])
         r_kf = np.rad2deg(np.linalg.norm(self.incr_from_last_kf[:3]))
-        t_chk = np.linalg.norm(self.incr_from_last_check[3:])
-        r_chk = np.rad2deg(np.linalg.norm(self.incr_from_last_check[:3]))
+        t_chk = float(np.linalg.norm(self.incr_from_last_check[3:]))
+        r_chk = float(np.rad2deg(np.linalg.norm(self.incr_from_last_check[:3])))
         force_new_kf = (
             t_kf > 2.0 * self.opts.max_translation
             or r_kf > 2.0 * self.opts.max_rotation
@@ -1445,7 +1638,7 @@ class SRBAStereoSLAMEstimator:
             or t_chk > self.updated_translation_th
             or r_chk > self.updated_rotation_th
         )
-        return force_new_kf, check
+        return force_new_kf, check, t_chk, r_chk
 
     # ------------------------------------------------------- adaptive VO
     def _vo_with_adaptive_retry(self, left, right, res: StepResult):
@@ -2144,6 +2337,7 @@ class SRBAStereoSLAMEstimator:
             self.rba._queued = []
             self._spec = []         # unresolved speculative checks likewise
             self._check_plan = []
+            self._walk_log = []
             self.finalize(out_dir=out_dir)
         except Exception:
             # minimal fallback: raw graph + unoptimized trajectory
