@@ -256,7 +256,7 @@ class FleetSLAM:
             eng._prev_ids = cur_ids
             eng._last_pose_inc = poses_h[i].astype(np.float32)
 
-            force_new_kf, check = e._kf_triggers(tracked_kf)
+            force_new_kf, check, _t_chk, _r_chk = e._kf_triggers(tracked_kf)
             if check:
                 res.kf_check = True
                 e.incr_from_last_check = np.zeros(6)
